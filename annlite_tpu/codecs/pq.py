@@ -1,0 +1,268 @@
+"""Product Quantization codec — jitted JAX end to end.
+
+Parity with reference `annlite/core/codec/pq.py` (PQCodec `pq.py:16-325`,
+DistanceTable `pq.py:330-368`):
+- code dtype u8/u16/u32 chosen by ``n_clusters`` (`pq.py:56-60`)
+- cosine ⇒ l2-normalize inputs (`pq.py:67-69`)
+- fit = per-subspace k-means (`pq.py:89-115`) — here ONE vmapped program
+- partial_fit = minibatch k-means (`pq.py:117-142`)
+- encode via nearest-codeword assignment (`pq.py:158-177`)
+- ``get_dist_mat``: L2 ⇒ squared-L2 ADC tables; IP/cosine ⇒
+  ``1/n_clusters - dot`` (`pq.py:293-325`)
+- duck-typed interface for the graph index: ``get_codebook`` /
+  ``get_subspace_splitting`` (`pq.py:231-244`)
+"""
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..enums import Metric, parse_metric
+from ..math import l2_normalize
+from .base import BaseCodec
+from .kmeans import KMeansState, assign, kmeans_fit_multi, minibatch_update
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _encode_jit(x, codebooks, n_subvectors):
+    """x[n, D] , codebooks[M, K, ds] -> codes[n, M] int32."""
+    n = x.shape[0]
+    xs = x.reshape(n, n_subvectors, -1).transpose(1, 0, 2)  # [M, n, ds]
+    return jax.vmap(assign)(xs, codebooks).T  # [n, M]
+
+
+@jax.jit
+def _decode_jit(codes, codebooks):
+    """codes[n, M], codebooks[M, K, ds] -> [n, M*ds]."""
+    # vmap gather over subspaces: out[m] = codebooks[m][codes[:, m]]
+    sub = jax.vmap(lambda cb, c: cb[c])(codebooks, codes.T.astype(jnp.int32))
+    return sub.transpose(1, 0, 2).reshape(codes.shape[0], -1)
+
+
+@jax.jit
+def _dist_mat_l2(x, codebooks):
+    """Batch ADC tables, squared L2: x[n, D] -> [n, M, K].
+
+    Replaces the Cython `batch_precompute_adc_table`
+    (`bindings/pq_bindings.pyx:149-210`).  Uses the direct (q-c)² broadcast
+    rather than the matmul identity: the table is tiny (n·M·K·ds work vs the
+    n·N·M scan that follows) and the direct form avoids the catastrophic
+    cancellation of ||q||²+||c||²-2qc in float32 — ADC tables feed recall
+    parity, so they stay exact.
+    """
+    n = x.shape[0]
+    m, k, ds = codebooks.shape
+    xs = x.reshape(n, m, 1, ds)
+    diff = xs - codebooks[None]  # [n, M, K, ds]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+@jax.jit
+def _dist_mat_ip(x, codebooks):
+    """Batch ADC tables, inner-product flavour: ``1/K - dot`` per subspace
+    (matches `pq.py:314-320`; summing over M gives a rank-equivalent
+    1-dot style distance)."""
+    n = x.shape[0]
+    m, k, ds = codebooks.shape
+    xs = x.reshape(n, m, ds)
+    dots = jnp.einsum(
+        'nmd,mkd->nmk', xs, codebooks, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return 1.0 / k - dots
+
+
+class PQCodec(BaseCodec):
+    """Product Quantization [Jegou11] with TPU-trained codebooks."""
+
+    def __init__(
+        self,
+        dim: int,
+        n_subvectors: int = 8,
+        n_clusters: int = 256,
+        metric: Metric = Metric.EUCLIDEAN,
+        n_init: int = 4,
+        seed: int = 0,
+    ):
+        super().__init__(require_train=True)
+        if dim % n_subvectors != 0:
+            raise ValueError(
+                'input dimension must be dividable by number of sub-space'
+            )
+        self.dim = dim
+        self.n_subvectors = n_subvectors
+        self.n_clusters = n_clusters
+        self.d_subvector = dim // n_subvectors
+        self.metric = parse_metric(metric)
+        self.n_init = n_init
+        self.seed = seed
+
+        self.code_dtype = (
+            np.uint8
+            if n_clusters <= 2**8
+            else (np.uint16 if n_clusters <= 2**16 else np.uint32)
+        )
+        self.normalize_input = self.metric == Metric.COSINE
+        self._codebooks = np.zeros(
+            (n_subvectors, n_clusters, self.d_subvector), dtype=np.float32
+        )
+        self._mb_state: Optional[KMeansState] = None
+
+    def __hash__(self):
+        return hash(
+            (
+                self.__class__.__name__,
+                self.dim,
+                self.n_subvectors,
+                self.n_clusters,
+                self.metric,
+                str(self.code_dtype),
+            )
+        )
+
+    # ----- training -----
+
+    def _prep(self, x) -> jnp.ndarray:
+        x = jnp.asarray(x, dtype=jnp.float32)
+        if x.ndim != 2:
+            raise ValueError('expected [n, dim] input')
+        if self.normalize_input:
+            x = l2_normalize(x)
+        return x
+
+    def fit(self, x: np.ndarray, iter: int = 25):
+        x = self._prep(x)
+        n = x.shape[0]
+        xs = x.reshape(n, self.n_subvectors, self.d_subvector).transpose(1, 0, 2)
+        key = jax.random.PRNGKey(self.seed)
+        cb = kmeans_fit_multi(
+            key, xs, self.n_clusters, iters=iter, n_init=self.n_init
+        )
+        self._codebooks = np.asarray(cb)
+        self._is_trained = True
+        return self
+
+    def partial_fit(self, x: np.ndarray):
+        """Streaming minibatch training over all subspaces at once."""
+        x = self._prep(x)
+        n = x.shape[0]
+        xs = x.reshape(n, self.n_subvectors, self.d_subvector).transpose(1, 0, 2)
+        if self._mb_state is None:
+            key = jax.random.PRNGKey(self.seed)
+            keys = jax.random.split(key, self.n_subvectors)
+            c0 = jax.vmap(
+                lambda kk, xi: xi[
+                    jax.random.choice(
+                        kk, xi.shape[0], shape=(self.n_clusters,), replace=False
+                    )
+                ]
+            )(keys, xs)
+            self._mb_state = KMeansState(
+                centroids=c0,
+                counts=jnp.zeros(
+                    (self.n_subvectors, self.n_clusters), dtype=jnp.float32
+                ),
+            )
+        self._mb_state = jax.vmap(minibatch_update)(self._mb_state, xs)
+        return self
+
+    def build_codebook(self):
+        """Freeze minibatch centroids into the codebook
+        (reference `pq.py:144-156`)."""
+        if self._mb_state is None:
+            raise RuntimeError('no partial_fit state to build a codebook from')
+        self._codebooks = np.asarray(self._mb_state.centroids)
+        self._is_trained = True
+        return self
+
+    # ----- encode / decode -----
+
+    def encode(self, x: np.ndarray) -> np.ndarray:
+        self._check_trained()
+        x = self._prep(x)
+        codes = _encode_jit(x, jnp.asarray(self._codebooks), self.n_subvectors)
+        return np.asarray(codes).astype(self.code_dtype)
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        self._check_trained()
+        out = _decode_jit(jnp.asarray(codes, dtype=jnp.int32), jnp.asarray(self._codebooks))
+        return np.asarray(out)
+
+    # ----- ADC tables -----
+
+    def precompute_adc(self, query: np.ndarray) -> 'DistanceTable':
+        """Single-query M×K table (reference `pq.py:200-224`)."""
+        self._check_trained()
+        q = np.asarray(query, dtype=np.float32).reshape(1, -1)
+        return DistanceTable(self.get_dist_mat(q)[0])
+
+    def get_dist_mat(self, x: np.ndarray) -> np.ndarray:
+        """Batch ADC tables [n, M, K] (reference `pq.py:293-325`)."""
+        self._check_trained()
+        x = self._prep(x)
+        cb = jnp.asarray(self._codebooks)
+        if self.metric == Metric.EUCLIDEAN:
+            out = _dist_mat_l2(x, cb)
+        elif self.metric in (Metric.INNER_PRODUCT, Metric.COSINE):
+            out = _dist_mat_ip(x, cb)
+        else:
+            raise ValueError(f'unsupported metric {self.metric}')
+        return np.ascontiguousarray(np.asarray(out, dtype=np.float32))
+
+    # ----- duck-typed interface for index layers (`pq.py:231-244`) -----
+
+    @property
+    def codebooks(self) -> np.ndarray:
+        return self._codebooks
+
+    def get_codebook(self) -> np.ndarray:
+        return np.ascontiguousarray(self._codebooks, dtype=np.float32)
+
+    def get_subspace_splitting(self):
+        return (self.n_subvectors, self.n_clusters, self.d_subvector)
+
+    # ----- serde -----
+
+    def _state(self):
+        return {
+            'params': {
+                'dim': self.dim,
+                'n_subvectors': self.n_subvectors,
+                'n_clusters': self.n_clusters,
+                'metric': int(self.metric),
+                'n_init': self.n_init,
+                'seed': self.seed,
+                'is_trained': self._is_trained,
+            },
+            'arrays': {'codebooks': self._codebooks},
+        }
+
+    def _restore(self, params, arrays):
+        self.__init__(
+            dim=params['dim'],
+            n_subvectors=params['n_subvectors'],
+            n_clusters=params['n_clusters'],
+            metric=Metric(params['metric']),
+            n_init=params['n_init'],
+            seed=params['seed'],
+        )
+        self._codebooks = arrays['codebooks']
+        self._is_trained = params['is_trained']
+
+
+class DistanceTable:
+    """Single-query ADC table (reference `pq.py:330-368`)."""
+
+    def __init__(self, dtable: np.ndarray):
+        assert dtable.ndim == 2
+        self.dtable = np.asarray(dtable, dtype=np.float32)
+
+    def adist(self, codes: np.ndarray) -> np.ndarray:
+        """Asymmetric distances [n] for codes [n, M]."""
+        codes = np.asarray(codes)
+        m = codes.shape[1]
+        return self.dtable[np.arange(m)[None, :], codes.astype(np.int64)].sum(
+            axis=1, dtype=np.float32
+        )
