@@ -1,0 +1,192 @@
+"""ADC (asymmetric distance) scoring — the hot kernel of the framework.
+
+Replaces the reference's Cython LUT-sum scan
+(`bindings/pq_bindings.pyx:52-80` `dist_pqcodes_to_codebooks`) and the C++
+`PQ_Space::PQLookup` gather (`include/hnswlib/space_pq.h:39-73`).
+
+TPU-native formulation: the per-point LUT gather
+``score[q, n] = Σ_m dtable[q, m, codes[n, m]]`` is re-expressed as a
+one-hot contraction
+
+``score[q, n] = Σ_m dtable[q, m, :] · onehot_K(codes[n, m])``
+
+so each subspace becomes a (BQ×K)@(K×BN) matmul on the MXU with the one-hot
+operand materialized *inside* the kernel from a (1×BN) row of codes — no
+HBM blow-up.  Codes are stored transposed ``[M, N]`` so the big N axis rides
+the 128-lane dimension.  The filter/delete predicate enters as a bitmask row
+fused into the same kernel (exact, replacing the reference's probabilistic
+binary fuse filter `include/hnswlib/fusefilter.h`).
+"""
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 3.4e38  # effectively +inf for masked-out scores (python float: safe to close over in kernels)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# --------------------------------------------------------------------------
+# Reference implementation (pure jnp) — used for tests and CPU fallback.
+# --------------------------------------------------------------------------
+
+
+@jax.jit
+def adc_scores_ref(dtable: jax.Array, codes_t: jax.Array) -> jax.Array:
+    """Gather-based reference: ``dtable[Q, M, K] × codes_t[M, N] → [Q, N]``."""
+    codes = codes_t.astype(jnp.int32)  # [M, N]
+
+    def per_query(dt):  # dt [M, K]
+        return jnp.sum(jnp.take_along_axis(dt, codes, axis=1), axis=0)
+
+    return jax.vmap(per_query)(dtable)
+
+
+# --------------------------------------------------------------------------
+# Pallas kernel
+# --------------------------------------------------------------------------
+
+
+def _adc_kernel(dtable_ref, codes_ref, mask_ref, out_ref, *, n_sub: int, k: int):
+    codes = codes_ref[:].astype(jnp.int32)  # [M, BN]
+    bn = codes.shape[1]
+    bq = dtable_ref.shape[0]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, bn), 0)
+    acc = jnp.zeros((bq, bn), dtype=jnp.float32)
+    for m in range(n_sub):
+        onehot = (codes[m][None, :] == iota_k).astype(dtable_ref.dtype)  # [K, BN]
+        acc = acc + jnp.dot(
+            dtable_ref[:, m, :], onehot, preferred_element_type=jnp.float32
+        )
+    # [1, BN] int8 (1 = alive & passes filter); i8 compare unsupported on
+    # some targets, so widen before comparing
+    mask = mask_ref[:].astype(jnp.int32)
+    out_ref[:] = jnp.where(mask > 0, acc, jnp.full_like(acc, BIG))
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _adc_scores_pallas(dtable, codes_t, mask, block_q: int, block_n: int):
+    q, m, k = dtable.shape
+    n = codes_t.shape[1]
+    grid = (q // block_q, n // block_n)
+    return pl.pallas_call(
+        partial(_adc_kernel, n_sub=m, k=k),
+        out_shape=jax.ShapeDtypeStruct((q, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (block_q, m, k), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((m, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_q, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * n * m * k,
+            bytes_accessed=int(
+                dtable.size * dtable.dtype.itemsize + codes_t.size + q * n * 4
+            ),
+            transcendentals=0,
+        ),
+    )(dtable, codes_t, mask)
+
+
+def adc_scores(
+    dtable: jax.Array,
+    codes_t: jax.Array,
+    mask: Optional[jax.Array] = None,
+    *,
+    use_pallas: Optional[bool] = None,
+    compute_dtype=jnp.bfloat16,
+    block_q: int = 128,
+    block_n: int = 1024,
+) -> jax.Array:
+    """Masked ADC scores ``[Q, N]`` from ``dtable[Q, M, K]`` and transposed
+    codes ``[M, N]``.
+
+    Inputs may be unpadded; this wrapper pads Q to a sublane multiple and N
+    to ``block_n`` (padding and mask-failing entries score ``BIG``).
+    ``compute_dtype=bfloat16`` runs the matmuls at full MXU rate with f32
+    accumulation — table entries are O(1e2) so bf16 mantissa noise is far
+    below PQ quantization error.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
+    q, m, k = dtable.shape
+    n = codes_t.shape[1]
+
+    if not use_pallas:
+        scores = adc_scores_ref(dtable, codes_t)
+        if mask is not None:
+            scores = jnp.where(mask[None, :] > 0, scores, BIG)
+        return scores
+
+    bq = min(block_q, _round_up(q, 8))
+    qp = _round_up(q, bq)
+    np_ = _round_up(n, block_n)
+    dt = dtable.astype(compute_dtype)
+    if qp != q:
+        dt = jnp.pad(dt, ((0, qp - q), (0, 0), (0, 0)))
+    codes_p = codes_t
+    if np_ != n:
+        codes_p = jnp.pad(codes_t, ((0, 0), (0, np_ - n)))
+    if mask is None:
+        mask_row = (
+            jnp.zeros((1, np_), dtype=jnp.int8)
+            .at[:, :n]
+            .set(1)
+        )
+    else:
+        mask_row = jnp.pad(
+            mask.astype(jnp.int8)[None, :], ((0, 0), (0, np_ - n))
+        )
+    scores = _adc_scores_pallas(dt, codes_p, mask_row, bq, block_n)
+    return scores[:q, :n]
+
+
+# --------------------------------------------------------------------------
+# Top-k over ADC scores
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _topk_exact(scores, valid_n, k, _):
+    neg, idx = jax.lax.top_k(-scores, k)
+    return -neg, idx
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _topk_approx(scores, valid_n, k, recall_target):
+    d, idx = jax.lax.approx_min_k(scores, k, recall_target=recall_target)
+    return d, idx
+
+
+def adc_topk(
+    dtable,
+    codes_t,
+    k: int,
+    mask: Optional[jax.Array] = None,
+    *,
+    exact: bool = True,
+    recall_target: float = 0.99,
+    **kw,
+):
+    """Score + top-k: returns ``(dists[Q, k], indices[Q, k])`` ascending.
+
+    ``exact=False`` uses TPU-optimized ``approx_min_k`` (TPU-KNN) for the
+    final reduction — the usual serving configuration.
+    """
+    scores = adc_scores(dtable, codes_t, mask, **kw)
+    k = min(k, scores.shape[1])
+    if exact:
+        return _topk_exact(scores, scores.shape[1], k, None)
+    return _topk_approx(scores, scores.shape[1], k, recall_target)

@@ -1,0 +1,81 @@
+import numpy as np
+import pytest
+
+from annlite_tpu.codecs import PQCodec
+from annlite_tpu.ops.adc import BIG, adc_scores, adc_scores_ref, adc_topk
+
+
+@pytest.fixture
+def setup(rng):
+    q, n, m, k = 5, 300, 8, 16
+    dtable = rng.uniform(0, 10, (q, m, k)).astype(np.float32)
+    codes = rng.integers(0, k, (n, m)).astype(np.uint8)
+    return dtable, codes
+
+
+def _numpy_adc(dtable, codes):
+    q, m, k = dtable.shape
+    n = codes.shape[0]
+    out = np.zeros((q, n), dtype=np.float32)
+    for qi in range(q):
+        out[qi] = dtable[qi][np.arange(m)[None, :], codes.astype(int)].sum(1)
+    return out
+
+
+def test_ref_matches_numpy(setup):
+    dtable, codes = setup
+    got = np.asarray(adc_scores_ref(dtable, codes.T))
+    np.testing.assert_allclose(got, _numpy_adc(dtable, codes), atol=1e-4)
+
+
+def test_pallas_interpret_matches_ref(setup):
+    """Run the wrapper's padded path (pallas kernels run in XLA fallback on
+    CPU via use_pallas=False; the pallas path itself is covered on TPU by
+    bench/verify)."""
+    dtable, codes = setup
+    got = np.asarray(adc_scores(dtable, codes.T, use_pallas=False))
+    np.testing.assert_allclose(got, _numpy_adc(dtable, codes), atol=1e-4)
+
+
+def test_mask_fusion(setup):
+    dtable, codes = setup
+    n = codes.shape[0]
+    mask = np.zeros(n, dtype=bool)
+    mask[::3] = True
+    got = np.asarray(adc_scores(dtable, codes.T, mask, use_pallas=False))
+    assert (got[:, ~mask] >= BIG * 0.9).all()
+    np.testing.assert_allclose(
+        got[:, mask], _numpy_adc(dtable, codes)[:, mask], atol=1e-4
+    )
+
+
+def test_adc_topk_sorted(setup):
+    dtable, codes = setup
+    d, idx = adc_topk(dtable, codes.T, 10, use_pallas=False)
+    d, idx = np.asarray(d), np.asarray(idx)
+    assert d.shape == (5, 10)
+    assert (np.diff(d, axis=1) >= -1e-6).all()
+    want = np.sort(_numpy_adc(dtable, codes), axis=1)[:, :10]
+    np.testing.assert_allclose(d, want, atol=1e-4)
+
+
+def test_adc_topk_respects_mask(setup, rng):
+    dtable, codes = setup
+    n = codes.shape[0]
+    mask = rng.random(n) < 0.3
+    d, idx = adc_topk(dtable, codes.T, 10, mask=mask, use_pallas=False)
+    idx = np.asarray(idx)
+    assert mask[idx].all(), 'all results must satisfy the predicate'
+
+
+def test_end_to_end_with_pq(rng):
+    """ADC pipeline against decoded-vector distances (invariant test)."""
+    x = rng.standard_normal((400, 32)).astype(np.float32)
+    pq = PQCodec(dim=32, n_subvectors=4, n_clusters=16, n_init=1).fit(x, iter=15)
+    codes = pq.encode(x)
+    q = x[:3]
+    dtable = pq.get_dist_mat(q)
+    scores = np.asarray(adc_scores(dtable, codes.T, use_pallas=False))
+    recon = pq.decode(codes)
+    want = ((q[:, None, :] - recon[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(scores, want, rtol=1e-3, atol=1e-3)
