@@ -1,0 +1,558 @@
+"""AnnLite — the public facade.
+
+Parity with reference `annlite/index.py` (class `AnnLite`, `index.py:26-963`):
+constructor knobs, train/partial_train (`:197-272`), CRUD (`:274-537`),
+search family (`:334-522`), filter/get_docs (`:416-456`), persistence
+dump/restore (`:574-923`), encode/decode, stat (`:952-963`).
+
+Deviations (deliberate):
+- Docs are `annlite_tpu.doc.Doc` (docarray isn't available here).
+- When a projector is configured, VQ/PQ train and operate in the *projected*
+  space (the reference trains all codecs on raw x, `index.py:197-233`, which
+  conflicts with projected inserts; this build resolves it consistently).
+- Persistence uses npz/SQLite-backup snapshots instead of pickled codecs +
+  binary hnswlib streams.
+"""
+import hashlib
+import json
+import shutil
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from .codecs import PQCodec, ProjectorCodec, VQCodec
+from .container import CellContainer
+from .doc import Doc, docs_to_embeddings
+from .enums import Metric, parse_metric
+from .helper import setup_logging
+from .index.flat import FlatIndex
+from .index.pq_scan import PQScanIndex
+from .math import cdist, top_k
+
+MAX_TRAINING_DATA_SIZE = 10240
+
+
+class AnnLite:
+    def __init__(
+        self,
+        n_dim: int,
+        metric: Union[str, Metric] = Metric.COSINE,
+        n_cells: int = 1,
+        n_subvectors: Optional[int] = None,
+        n_clusters: int = 256,
+        n_probe: int = 16,
+        n_components: Optional[int] = None,
+        initial_size: Optional[int] = None,
+        expand_step_size: int = 10240,
+        columns: Optional[List[Tuple[str, type]]] = None,
+        filterable_attrs: Optional[Dict[str, type]] = None,
+        data_path: Union[str, Path] = './data',
+        read_only: bool = False,
+        verbose: bool = False,
+        exact_topk: bool = False,
+        **kwargs,
+    ):
+        self.logger = setup_logging(verbose)
+        self.n_dim = n_dim
+        self.metric = parse_metric(metric)
+        self.n_cells = n_cells
+        self.n_subvectors = n_subvectors
+        self.n_clusters = n_clusters
+        self.n_probe = max(n_probe, n_cells if n_cells else 1) if n_cells > 1 else 1
+        self.n_components = n_components
+        self.read_only = read_only
+        self.exact_topk = exact_topk
+
+        if columns is None and filterable_attrs:
+            columns = list(filterable_attrs.items())
+        self._columns = columns or []
+
+        self.data_path = Path(data_path)
+        self.data_path.mkdir(parents=True, exist_ok=True)
+
+        # effective dim the index/PQ operate in
+        self.index_dim = n_components if n_components else n_dim
+
+        # ----- codecs (load-or-init, reference `index.py:111-150`) -----
+        self._projector_codec = (
+            ProjectorCodec(n_dim, n_components=n_components) if n_components else None
+        )
+        self._vq_codec = (
+            VQCodec(n_cells, metric=self.metric) if n_cells > 1 else None
+        )
+        self._pq_codec = (
+            PQCodec(
+                self.index_dim,
+                n_subvectors=n_subvectors,
+                n_clusters=n_clusters,
+                metric=self.metric,
+            )
+            if n_subvectors
+            else None
+        )
+        self._load_codecs_if_exist()
+
+        self._container: Optional[CellContainer] = None
+        if self.is_trained or not self._requires_training:
+            self._build_container()
+
+        # auto-train from stored docs + restore (reference `index.py:173-187`)
+        if self._container is None and self._stored_docs_exist():
+            self._auto_train_from_store()
+        if (
+            self._container is not None
+            and self.index_size == 0
+            and (self._latest_snapshot() is not None or self.total_docs > 0)
+        ):
+            self._maybe_restore()
+
+    # ------------------------------------------------------------------
+    # construction helpers
+    # ------------------------------------------------------------------
+
+    @property
+    def _requires_training(self) -> bool:
+        return any(
+            c is not None
+            for c in (self._projector_codec, self._vq_codec, self._pq_codec)
+        )
+
+    @property
+    def is_trained(self) -> bool:
+        for c in (self._projector_codec, self._vq_codec, self._pq_codec):
+            if c is not None and not c.is_trained:
+                return False
+        return True
+
+    def _build_container(self):
+        if self._pq_codec is not None:
+            index = PQScanIndex(
+                self.index_dim, self._pq_codec, exact_topk=self.exact_topk
+            )
+        else:
+            index = FlatIndex(self.index_dim, metric=self.metric)
+        self._container = CellContainer(
+            dim=self.n_dim,
+            index=index,
+            metric=self.metric,
+            columns=self._columns,
+            data_path=self.data_path,
+            projector_codec=self._projector_codec,
+        )
+
+    # ------------------------------------------------------------------
+    # training (reference `index.py:197-272`)
+    # ------------------------------------------------------------------
+
+    def _sanity_check(self, x: np.ndarray):
+        x = np.asarray(x, dtype=np.float32)
+        assert x.ndim == 2, 'inputs must be a 2D array'
+        assert x.shape[1] == self.n_dim, (
+            f'inputs must have the same dimension as the index, '
+            f'got {x.shape[1]}, expected {self.n_dim}'
+        )
+        return x
+
+    def train(self, x: np.ndarray, auto_save: bool = True, force_train: bool = False):
+        x = self._sanity_check(x)
+        if self.is_trained and not force_train:
+            self.logger.warning(
+                'The annlite has been trained or is not trainable. '
+                'Please use `force_train=True` to retrain.'
+            )
+            return
+        if self._projector_codec:
+            self.logger.info(f'Training Projector codec with {x.shape[0]} vectors')
+            self._projector_codec.fit(x)
+        xp = self._projector_codec.encode(x) if self._projector_codec else x
+        if self._vq_codec:
+            self.logger.info(f'Training VQ codec (K={self.n_cells})')
+            self._vq_codec.fit(x)
+        if self._pq_codec:
+            self.logger.info(f'Training PQ codec (m={self.n_subvectors})')
+            self._pq_codec.fit(xp)
+        if auto_save:
+            self.dump_model()
+        if self._container is None:
+            self._build_container()
+
+    def partial_train(self, x: np.ndarray, auto_save: bool = True, force_train: bool = False):
+        x = self._sanity_check(x)
+        if self.is_trained and not force_train:
+            self.logger.warning('The annlite has been trained; use force_train=True')
+            return
+        if self._projector_codec:
+            self._projector_codec.partial_fit(x)
+        xp = self._projector_codec.encode(x) if self._projector_codec and self._projector_codec.is_trained else x
+        if self._vq_codec:
+            self._vq_codec.partial_fit(x)
+        if self._pq_codec and xp.shape[1] == self.index_dim:
+            self._pq_codec.partial_fit(x if self._projector_codec is None else xp)
+        if auto_save:
+            self.dump_model()
+
+    def build_codebooks(self):
+        """Freeze partial_fit state (needed before use after partial_train)."""
+        for c in (self._vq_codec, self._pq_codec):
+            if c is not None and not c.is_trained:
+                c.build_codebook()
+        if self._container is None and self.is_trained:
+            self._build_container()
+
+    # ------------------------------------------------------------------
+    # CRUD (reference `index.py:274-537`)
+    # ------------------------------------------------------------------
+
+    def _check_writable(self):
+        if self.read_only:
+            raise RuntimeError('the indexer is read-only, cannot modify it')
+        if not self.is_trained:
+            raise RuntimeError('the indexer is not trained, cannot add new documents')
+        if self._container is None:
+            self._build_container()
+
+    def _assign_cells(self, x: np.ndarray) -> np.ndarray:
+        if self._vq_codec is not None:
+            return np.asarray(self._vq_codec.encode(x)).reshape(-1)
+        return np.zeros(x.shape[0], dtype=np.int64)
+
+    def index(self, docs: List[Doc]):
+        self._check_writable()
+        x = docs_to_embeddings(docs)
+        self._sanity_check(x)
+        cells = self._assign_cells(x)
+        self._container.insert(x, cells, docs)
+
+    def update(
+        self,
+        docs: List[Doc],
+        insert_if_not_found: bool = True,
+        raise_errors_on_not_found: bool = False,
+    ):
+        self._check_writable()
+        x = docs_to_embeddings(docs)
+        self._sanity_check(x)
+        cells = self._assign_cells(x)
+        self._container.update(
+            x, cells, docs, insert_if_not_found, raise_errors_on_not_found
+        )
+
+    def delete(
+        self,
+        docs: Union[List[Doc], List[str]],
+        raise_errors_on_not_found: bool = False,
+    ):
+        self._check_writable()
+        ids = [d.id if isinstance(d, Doc) else d for d in docs]
+        self._container.delete(ids, raise_errors_on_not_found)
+
+    # ------------------------------------------------------------------
+    # search (reference `index.py:334-522`)
+    # ------------------------------------------------------------------
+
+    def search(
+        self,
+        docs: List[Doc],
+        filter: Optional[Dict] = None,
+        limit: int = 10,
+        include_metadata: bool = True,
+    ):
+        """Attach ``matches`` (with scores) to each query doc."""
+        if not self.is_trained:
+            raise RuntimeError('the indexer is not trained, cannot search')
+        x = docs_to_embeddings(docs)
+        match_docs, _, _ = self._container.search_cells(
+            x, filter=filter, limit=limit, include_metadata=include_metadata
+        )
+        for doc, matches in zip(docs, match_docs):
+            doc.matches = matches
+        return docs
+
+    def search_by_vectors(
+        self,
+        query_np: np.ndarray,
+        filter: Optional[Dict] = None,
+        limit: int = 10,
+        include_metadata: bool = False,
+    ):
+        match_docs, _, _ = self._container.search_cells(
+            self._sanity_check(query_np),
+            filter=filter,
+            limit=limit,
+            include_metadata=include_metadata,
+        )
+        return match_docs
+
+    def search_numpy(
+        self, query_np: np.ndarray, filter: Optional[Dict] = None, limit: int = 10
+    ):
+        """Returns (dists, doc_ids) ragged lists."""
+        if not self.is_trained:
+            raise RuntimeError('the indexer is not trained, cannot search')
+        return self._container.search_numpy(
+            self._sanity_check(query_np), filter=filter, limit=limit
+        )
+
+    def filter(
+        self,
+        filter: Optional[Dict] = None,
+        limit: int = 10,
+        offset: int = 0,
+        order_by: Optional[str] = None,
+        ascending: bool = True,
+        include_metadata: bool = True,
+    ) -> List[Doc]:
+        return self._container.filter_cells(
+            filter=filter,
+            limit=limit,
+            offset=offset,
+            order_by=order_by,
+            ascending=ascending,
+            include_metadata=include_metadata,
+        )
+
+    def get_docs(self, **kwargs) -> List[Doc]:
+        return self.filter(**kwargs)
+
+    def get_doc_by_id(self, doc_id: str) -> Optional[Doc]:
+        return self._container.get_doc_by_id(doc_id)
+
+    # ------------------------------------------------------------------
+    # codec passthrough (reference `index.py:925-950`)
+    # ------------------------------------------------------------------
+
+    def encode(self, x: np.ndarray) -> np.ndarray:
+        if self._pq_codec is None:
+            raise RuntimeError('PQ codec is not configured')
+        x = self._sanity_check(x)
+        xp = self._projector_codec.encode(x) if self._projector_codec else x
+        return self._pq_codec.encode(xp)
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        if self._pq_codec is None:
+            raise RuntimeError('PQ codec is not configured')
+        xp = self._pq_codec.decode(codes)
+        if self._projector_codec:
+            return self._projector_codec.decode(xp)
+        return xp
+
+    # ------------------------------------------------------------------
+    # persistence (reference `index.py:574-923`)
+    # ------------------------------------------------------------------
+
+    @property
+    def params_hash(self) -> str:
+        params = dict(
+            n_dim=self.n_dim,
+            metric=int(self.metric),
+            n_cells=self.n_cells,
+            n_subvectors=self.n_subvectors or 0,
+            n_clusters=self.n_clusters,
+            n_components=self.n_components or 0,
+        )
+        return hashlib.md5(json.dumps(params, sort_keys=True).encode()).hexdigest()[:16]
+
+    @property
+    def model_path(self) -> Path:
+        return self.data_path / f'parameters-{self.params_hash}'
+
+    @property
+    def snapshot_root(self) -> Path:
+        return self.data_path / f'snapshot-{self.params_hash}'
+
+    def _load_codecs_if_exist(self):
+        p = self.model_path
+        try:
+            if self._projector_codec and (p / 'projector.npz').exists():
+                self._projector_codec = ProjectorCodec.load(p / 'projector.npz')
+            if self._vq_codec and (p / 'vq.npz').exists():
+                self._vq_codec = VQCodec.load(p / 'vq.npz')
+            if self._pq_codec and (p / 'pq.npz').exists():
+                self._pq_codec = PQCodec.load(p / 'pq.npz')
+        except Exception as e:  # corrupted model dir: retrain
+            self.logger.warning(f'failed to load codecs from {p}: {e}')
+
+    def dump_model(self):
+        p = self.model_path
+        p.mkdir(parents=True, exist_ok=True)
+        if self._projector_codec:
+            self._projector_codec.dump(p / 'projector.npz')
+        if self._vq_codec:
+            self._vq_codec.dump(p / 'vq.npz')
+        if self._pq_codec:
+            self._pq_codec.dump(p / 'pq.npz')
+
+    def dump_index(self) -> Path:
+        """Write a timestamped snapshot (reference `index.py:689-710`);
+        rolls back the partial dir on failure."""
+        if self._container is None:
+            raise RuntimeError('nothing to snapshot')
+        ts = time.strftime('%Y%m%d%H%M%S') + f'{time.time() % 1:.6f}'[1:]
+        snap = self.snapshot_root / f'{ts}-SNAPSHOT'
+        try:
+            snap.mkdir(parents=True, exist_ok=False)
+            self._container.cell_table.dump(snap / 'cells.db')
+            self._container.meta_table.dump(snap / 'metas.db')
+            idx = self._container.index
+            state = idx.state_arrays()
+            np.savez_compressed(snap / 'index_state.npz', **state)
+            return snap
+        except Exception:
+            shutil.rmtree(snap, ignore_errors=True)
+            raise
+
+    def dump(self):
+        self.dump_model()
+        return self.dump_index()
+
+    def _latest_snapshot(self) -> Optional[Path]:
+        if not self.snapshot_root.exists():
+            return None
+        snaps = sorted(self.snapshot_root.glob('*-SNAPSHOT'))
+        return snaps[-1] if snaps else None
+
+    def _maybe_restore(self):
+        snap = self._latest_snapshot()
+        if snap is not None:
+            self._restore_from_snapshot(snap)
+        elif self.total_docs > 0:
+            self._rebuild_index_from_local()
+
+    def _restore_from_snapshot(self, snap: Path):
+        self.logger.info(f'restoring from snapshot {snap}')
+        c = self._container
+        c.cell_table.load(snap / 'cells.db')
+        c.cell_table._invalidate()
+        c.meta_table.load(snap / 'metas.db')
+        with np.load(snap / 'index_state.npz', allow_pickle=False) as z:
+            c.index.load_state_arrays({k: z[k] for k in z.files})
+        self._rebuild_columns_from_table()
+
+    def _rebuild_columns_from_table(self):
+        c = self._container
+        cols = c.cell_table.columns_arrays()
+        n = len(cols['_alive'])
+        # hard reset (stale longer arrays would leave ghost alive rows)
+        c._alive = np.zeros(0, dtype=bool)
+        c._cells = np.zeros(0, dtype=np.int32)
+        for name in c._col_names:
+            c._columns_np[name] = c._empty_col(name)
+        c._grow_columns(n)
+        c._alive[:n] = cols['_alive']
+        c._cells[:n] = cols['_cell']
+        for name in c._col_names:
+            c._columns_np[name][:n] = cols[name]
+
+    def _rebuild_index_from_local(self):
+        """Re-insert everything from the durable doc store
+        (reference `index.py:779-794`)."""
+        self.logger.info('rebuilding index from doc store')
+        for batch in self._container.documents_generator():
+            x = docs_to_embeddings(batch)
+            cells = self._assign_cells(x)
+            self._container.insert(x, cells, batch, only_index=True)
+
+    def _stored_docs_exist(self) -> bool:
+        return (self.data_path / 'docs' / 'docs.db').exists()
+
+    def _auto_train_from_store(self):
+        """Train codecs from stored docs when opening an untrained index over
+        existing data (reference `index.py:173-184`)."""
+        store_path = self.data_path / 'docs'
+        from .storage.kv import DocStorage
+
+        store = DocStorage(store_path)
+        if store.size == 0:
+            store.close()
+            self._build_container()
+            return
+        xs, count = [], 0
+        for batch in store.batched_iterator():
+            xs.append(docs_to_embeddings(batch))
+            count += len(batch)
+            if count >= MAX_TRAINING_DATA_SIZE:
+                break
+        store.close()
+        x = np.concatenate(xs)[:MAX_TRAINING_DATA_SIZE]
+        self.train(x)
+        self._build_container()
+        self._maybe_restore()
+        if self.index_size == 0 and self.total_docs > 0:
+            self._rebuild_index_from_local()
+
+    def backup(self, target_name: Optional[str] = None, token: Optional[str] = None) -> Path:
+        """Archive the current state into a portable backup directory
+        (reference remote Hubble backup `index.py:652-767`; here: local
+        archive, remote transports can wrap it)."""
+        self.dump_model()
+        snap = self.dump_index()
+        name = target_name or f'backup-{snap.name}'
+        dest = self.data_path / 'backups' / name
+        dest.mkdir(parents=True, exist_ok=True)
+        shutil.copytree(self.model_path, dest / self.model_path.name, dirs_exist_ok=True)
+        shutil.copytree(snap, dest / 'snapshot', dirs_exist_ok=True)
+        self._container.doc_store.dump(dest / 'docs.db')
+        return dest
+
+    def restore(self, source_name: Optional[str] = None, token: Optional[str] = None):
+        """Restore from a backup dir created by :meth:`backup`."""
+        if source_name is None:
+            self._maybe_restore()
+            return
+        src = self.data_path / 'backups' / source_name
+        if not src.exists():
+            raise FileNotFoundError(f'backup {source_name} not found under {src}')
+        model_dirs = list(src.glob('parameters-*'))
+        if model_dirs:
+            shutil.copytree(
+                model_dirs[0], self.data_path / model_dirs[0].name, dirs_exist_ok=True
+            )
+            self._load_codecs_if_exist()
+        if self._container is None:
+            self._build_container()
+        self._container.doc_store.load(src / 'docs.db')
+        self._restore_from_snapshot_dir_or_rebuild(src / 'snapshot')
+
+    def _restore_from_snapshot_dir_or_rebuild(self, snap: Path):
+        if snap.exists():
+            self._restore_from_snapshot(snap)
+        else:
+            self._rebuild_index_from_local()
+
+    def clear(self):
+        if self._container is not None:
+            self._container.clear()
+
+    def close(self):
+        if self._container is not None:
+            self._container.close()
+
+    # ------------------------------------------------------------------
+    # stats (reference `index.py:952-963`)
+    # ------------------------------------------------------------------
+
+    @property
+    def total_docs(self) -> int:
+        return self._container.total_docs if self._container else 0
+
+    @property
+    def index_size(self) -> int:
+        return self._container.index_size if self._container else 0
+
+    @property
+    def stat(self) -> Dict:
+        return {
+            'total_docs': self.total_docs,
+            'index_size': self.index_size,
+            'n_cells': self.n_cells,
+            'n_dim': self.n_dim,
+            'metric': self.metric.name,
+            'is_trained': self.is_trained,
+            'params_hash': self.params_hash,
+            'data_path': str(self.data_path),
+        }
+
+    def __len__(self):
+        return self.index_size

@@ -1,0 +1,204 @@
+"""Integration tests on the AnnLite facade (mirrors reference
+`tests/test_index.py` invariants: sorted distances, filter consistency,
+CRUD, dump/reload parity — SURVEY.md §4)."""
+import numpy as np
+import pytest
+
+from annlite_tpu import AnnLite
+from annlite_tpu.doc import Doc
+
+D = 32
+N = 300
+
+
+@pytest.fixture
+def docs(rng):
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    return [
+        Doc(
+            id=f'doc{i}',
+            embedding=x[i],
+            tags={'price': float(i % 50), 'brand': f'b{i % 3}', 'idx': i},
+        )
+        for i in range(N)
+    ]
+
+
+@pytest.fixture
+def ann(tmp_index_path, docs):
+    a = AnnLite(
+        n_dim=D,
+        metric='cosine',
+        columns=[('price', float), ('brand', str), ('idx', int)],
+        data_path=tmp_index_path,
+    )
+    a.index(docs)
+    return a
+
+
+def test_search_sorted_and_self_match(ann, docs):
+    res = ann.search([Doc(id='q0', embedding=docs[5].embedding)], limit=10)
+    matches = res[0].matches
+    assert len(matches) == 10
+    scores = [m.score for m in matches]
+    assert scores == sorted(scores)
+    assert matches[0].id == 'doc5'
+    assert matches[0].score < 1e-5
+
+
+@pytest.mark.parametrize(
+    'flt,pred',
+    [
+        ({'price': {'$lt': 10}}, lambda t: t['price'] < 10),
+        ({'price': {'$gte': 10, '$lte': 20}}, lambda t: 10 <= t['price'] <= 20),
+        ({'brand': {'$eq': 'b1'}}, lambda t: t['brand'] == 'b1'),
+        ({'brand': {'$in': ['b0', 'b2']}}, lambda t: t['brand'] in ('b0', 'b2')),
+        (
+            {'$or': [{'price': {'$gt': 45}}, {'brand': 'b2'}]},
+            lambda t: t['price'] > 45 or t['brand'] == 'b2',
+        ),
+    ],
+)
+def test_filtered_search_consistency(ann, docs, rng, flt, pred):
+    q = rng.standard_normal((2, D)).astype(np.float32)
+    results = ann.search_by_vectors(q, filter=flt, limit=15, include_metadata=True)
+    by_id = {d.id: d for d in docs}
+    for matches in results:
+        assert len(matches) > 0
+        for m in matches:
+            assert pred(by_id[m.id].tags), f'{m.id} violates filter {flt}'
+
+
+def test_filter_endpoint_pagination(ann):
+    out = ann.filter(filter={'price': {'$lt': 5}}, limit=100)
+    assert all(d.tags['price'] < 5 for d in out)
+    ordered = ann.filter(limit=5, order_by='idx', ascending=False)
+    idxs = [d.tags['idx'] for d in ordered]
+    assert idxs == sorted(idxs, reverse=True)
+    page2 = ann.filter(limit=5, offset=5, order_by='idx', ascending=False)
+    assert [d.tags['idx'] for d in page2] == [i - 5 for i in idxs]
+
+
+def test_delete_removes_from_search(ann, docs):
+    ann.delete(['doc5'])
+    res = ann.search([Doc(id='q', embedding=docs[5].embedding)], limit=5)
+    assert all(m.id != 'doc5' for m in res[0].matches)
+    assert ann.index_size == N - 1
+    assert ann.total_docs == N - 1
+    with pytest.raises(ValueError):
+        ann.delete(['doc5'], raise_errors_on_not_found=True)
+
+
+def test_update_moves_doc(ann, docs, rng):
+    new_emb = docs[7].embedding * -1.0
+    ann.update([Doc(id='doc3', embedding=new_emb, tags={'price': 999.0, 'brand': 'new', 'idx': 3})])
+    assert ann.index_size == N  # still N alive docs
+    res = ann.search([Doc(id='q', embedding=new_emb)], limit=3)
+    assert res[0].matches[0].id == 'doc3'
+    got = ann.get_doc_by_id('doc3')
+    assert got.tags['price'] == 999.0
+    # filter sees the new tags
+    out = ann.filter(filter={'price': {'$eq': 999.0}})
+    assert [d.id for d in out] == ['doc3']
+
+
+def test_update_insert_if_not_found(ann, rng):
+    emb = rng.standard_normal(D).astype(np.float32)
+    ann.update([Doc(id='newdoc', embedding=emb, tags={'price': 1.0, 'brand': 'x', 'idx': 0})])
+    assert ann.get_doc_by_id('newdoc') is not None
+    with pytest.raises(ValueError):
+        ann.update(
+            [Doc(id='ghost', embedding=emb)],
+            insert_if_not_found=False,
+            raise_errors_on_not_found=True,
+        )
+
+
+def test_get_doc_and_stat(ann):
+    d = ann.get_doc_by_id('doc10')
+    assert d.id == 'doc10' and d.embedding is not None
+    s = ann.stat
+    assert s['total_docs'] == N and s['index_size'] == N
+    assert s['is_trained'] is True
+    assert len(ann) == N
+
+
+def test_search_numpy_matches_exact(ann, docs, rng):
+    from annlite_tpu.enums import Metric
+    from annlite_tpu.math import cdist
+
+    q = rng.standard_normal((3, D)).astype(np.float32)
+    dists, ids = ann.search_numpy(q, limit=5)
+    x = np.stack([d.embedding for d in docs])
+    exact = np.asarray(cdist(q, x, Metric.COSINE))
+    for qi in range(3):
+        want = np.argsort(exact[qi])[:5]
+        got = [int(i[3:]) for i in ids[qi]]
+        assert got == want.tolist()
+        np.testing.assert_allclose(dists[qi], np.sort(exact[qi])[:5], atol=1e-4)
+
+
+def test_dump_reload_identical_top10(tmp_index_path, docs):
+    """Reference `tests/test_dump.py:24-40`: dump → reopen → identical
+    top-10."""
+    a = AnnLite(n_dim=D, columns=[('price', float), ('brand', str), ('idx', int)], data_path=tmp_index_path)
+    a.index(docs)
+    q = docs[0].embedding[None, :]
+    _, ids_before = a.search_numpy(q, limit=10)
+    a.dump()
+    a.close()
+
+    b = AnnLite(n_dim=D, columns=[('price', float), ('brand', str), ('idx', int)], data_path=tmp_index_path)
+    assert b.index_size == N
+    _, ids_after = b.search_numpy(q, limit=10)
+    assert ids_before == ids_after
+    b.close()
+
+
+def test_rebuild_without_snapshot(tmp_index_path, docs):
+    """No snapshot → rebuild from the durable doc store
+    (reference `index.py:779-794`)."""
+    a = AnnLite(n_dim=D, data_path=tmp_index_path)
+    a.index(docs)
+    q = docs[1].embedding[None, :]
+    _, ids_before = a.search_numpy(q, limit=5)
+    a.close()  # no dump()
+
+    b = AnnLite(n_dim=D, data_path=tmp_index_path)
+    assert b.index_size == N
+    _, ids_after = b.search_numpy(q, limit=5)
+    assert ids_before == ids_after
+    b.close()
+
+
+def test_backup_restore_doc_count_parity(tmp_index_path, tmp_path, docs):
+    """Reference `tests/test_index.py:284-299`."""
+    a = AnnLite(n_dim=D, data_path=tmp_index_path)
+    a.index(docs)
+    a.backup('snap1')
+    a.close()
+
+    b = AnnLite(n_dim=D, data_path=tmp_index_path)
+    b.clear()
+    assert b.total_docs == 0
+    b.restore('snap1')
+    assert b.total_docs == N
+    assert b.index_size == N
+    b.close()
+
+
+def test_read_only_blocks_writes(tmp_index_path, docs):
+    a = AnnLite(n_dim=D, data_path=tmp_index_path, read_only=True)
+    with pytest.raises(RuntimeError):
+        a.index(docs[:1])
+
+
+def test_wrong_dim_raises(ann, rng):
+    with pytest.raises(AssertionError):
+        ann.search_numpy(rng.standard_normal((1, D + 1)).astype(np.float32))
+
+
+def test_clear(ann):
+    ann.clear()
+    assert ann.total_docs == 0
+    assert ann.index_size == 0
