@@ -20,9 +20,11 @@ from .base import BaseIndex
 from .buffer import DeviceBuffer
 
 
-@partial(jax.jit, static_argnums=(4, 5))
-def _flat_search(q, x, norms_sq, mask, k, metric_val):
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _flat_search(q, x, norms_sq, mask, k, metric_val, exact):
     """q[Q, D], x[N, D], norms_sq[N], mask[N] -> (dists[Q,k], idx[Q,k])."""
+    from ..ops.topk import topk
+
     dots = jnp.dot(q, x.T, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
     if metric_val == int(Metric.EUCLIDEAN):
@@ -30,13 +32,14 @@ def _flat_search(q, x, norms_sq, mask, k, metric_val):
     else:  # cosine (pre-normalized) and inner product: dist = 1 - dot
         scores = 1.0 - dots
     scores = jnp.where(mask[None, :] > 0, scores, BIG)
-    neg, idx = jax.lax.top_k(-scores, k)
-    return -neg, idx
+    return topk(scores, k, exact=exact)
 
 
 class FlatIndex(BaseIndex):
-    def __init__(self, dim: int, metric: Metric = Metric.COSINE, chunk: int = 65536, **kwargs):
+    def __init__(self, dim: int, metric: Metric = Metric.COSINE, chunk: int = 65536,
+                 exact_topk: bool = True, **kwargs):
         super().__init__(dim=dim, metric=metric, **kwargs)
+        self.exact_topk = exact_topk
         self._buf = DeviceBuffer((dim,), np.float32, grow_axis=0, chunk=chunk)
         self._norms = DeviceBuffer((), np.float32, grow_axis=0, chunk=chunk)
 
@@ -73,7 +76,7 @@ class FlatIndex(BaseIndex):
             m[: self.size] = np.asarray(mask[: self.size], dtype=np.int8)
             m = jnp.asarray(m)
         k = min(limit, max(self.size, 1))
-        d, idx = _flat_search(q, x, norms, m, k, int(self.metric))
+        d, idx = _flat_search(q, x, norms, m, k, int(self.metric), self.exact_topk)
         return np.asarray(d), np.asarray(idx)
 
     def reset(self):

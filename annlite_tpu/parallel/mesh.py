@@ -1,0 +1,115 @@
+"""Multi-device sharding: codes sharded over a mesh, codebooks replicated,
+cross-shard top-k merge via collectives.
+
+The TPU-native replacement for the reference's only distribution mode — Jina
+Flow process shards with gateway scatter/gather over gRPC (SURVEY.md §2.3
+item 5, `annlite/executor.py:93-96`).  Here a `jax.sharding.Mesh` over
+ICI/DCN holds the code matrix sharded on N (`P(None, 'shard')`); queries and
+ADC tables are replicated; each device scores its shard, takes a local
+top-k, and the k-sized candidates are `all_gather`ed and merged — so the
+cross-device traffic is O(P·Q·k), never O(Q·N).
+
+Also provides a data-parallel Lloyd step (k-means training over sharded
+corpora with `psum`-merged centroid statistics).
+"""
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.adc import BIG, adc_scores_ref
+
+SHARD_AXIS = 'shard'
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (SHARD_AXIS,))
+
+
+def shard_codes(mesh: Mesh, codes_t: np.ndarray) -> jax.Array:
+    """Place transposed codes ``[M, N]`` with N sharded over the mesh
+    (pads N to a multiple of the axis size)."""
+    n_dev = mesh.devices.size
+    m, n = codes_t.shape
+    n_pad = -(-n // n_dev) * n_dev
+    if n_pad != n:
+        codes_t = np.pad(codes_t, ((0, 0), (0, n_pad - n)))
+    return jax.device_put(codes_t, NamedSharding(mesh, P(None, SHARD_AXIS)))
+
+
+def shard_mask(mesh: Mesh, mask: np.ndarray, n_pad: int) -> jax.Array:
+    out = np.zeros(n_pad, dtype=np.int8)
+    out[: len(mask)] = mask.astype(np.int8)
+    return jax.device_put(out, NamedSharding(mesh, P(SHARD_AXIS)))
+
+
+def replicate(mesh: Mesh, x) -> jax.Array:
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
+
+
+def sharded_adc_topk(mesh: Mesh, dtable, codes_t, mask, k: int):
+    """Distributed masked ADC search.
+
+    dtable ``[Q, M, K]`` replicated; codes_t ``[M, N]`` sharded on N; mask
+    ``[N]`` sharded.  Returns replicated ``(dists[Q, k], global_idx[Q, k])``.
+    """
+
+    def local(dt, ct, mk):
+        # per-shard score + local top-k (ct/mk are the local shard)
+        scores = adc_scores_ref(dt, ct)
+        scores = jnp.where(mk[None, :] > 0, scores, BIG)
+        neg, idx = jax.lax.top_k(-scores, k)
+        local_n = ct.shape[1]
+        gidx = idx + jax.lax.axis_index(SHARD_AXIS) * local_n
+        # gather the k candidates from every shard: O(P*Q*k) traffic
+        d_all = jax.lax.all_gather(-neg, SHARD_AXIS, axis=1, tiled=True)
+        i_all = jax.lax.all_gather(gidx, SHARD_AXIS, axis=1, tiled=True)
+        neg2, pos = jax.lax.top_k(-d_all, k)
+        return -neg2, jnp.take_along_axis(i_all, pos, axis=1)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(None, SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(dtable, codes_t, mask)
+
+
+def sharded_lloyd_step(mesh: Mesh, x_sharded, centroids):
+    """One data-parallel k-means step: assignments computed per shard,
+    centroid sums/counts merged with psum — the multi-host training path
+    for VQ/PQ codebooks."""
+
+    def local(x, c):
+        dots = jnp.dot(x, c.T, preferred_element_type=jnp.float32)
+        d2 = (
+            jnp.sum(x * x, axis=1)[:, None]
+            + jnp.sum(c * c, axis=1)[None, :]
+            - 2 * dots
+        )
+        labels = jnp.argmin(d2, axis=1)
+        onehot = jax.nn.one_hot(labels, c.shape[0], dtype=jnp.float32)
+        sums = jax.lax.psum(
+            jnp.dot(onehot.T, x, preferred_element_type=jnp.float32), SHARD_AXIS
+        )
+        counts = jax.lax.psum(jnp.sum(onehot, axis=0), SHARD_AXIS)
+        new_c = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), c)
+        inertia = jax.lax.psum(jnp.sum(jnp.min(d2, axis=1)), SHARD_AXIS)
+        return new_c, inertia
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(x_sharded, centroids)

@@ -1,0 +1,168 @@
+"""Headline benchmark — run on one real TPU chip by the driver.
+
+Reproduces the reference's own benchmark setup (README.md:341-350 /
+executor/benchmark.py: 768-d vectors, batch=64 queries, top-10) at the 1M
+scale, plus the BASELINE.json north-star shape (PQ64 ADC at 1M with measured
+recall@10 against exact ground truth on clustered data).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference needs 5.778 s for a 64-query batch at 1M docs
+(`/root/reference/README.md:350`) -> 11.08 QPS at HNSW recall (<1.0).
+
+Timing note: under the axon tunnel `block_until_ready` returns early and
+identical dispatches can be cached, so each timed call consumes a scalar
+carry from the previous result (true device-serialized chain) and only the
+final carry is fetched; per-call time is the slope between two chain
+lengths, which cancels the tunnel round-trip.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def chain_time(fn, make_args, carry0, reps=(2, 12)):
+    """fn(*args, carry) -> (..., carry). Returns per-call seconds."""
+    args = make_args(0)
+    _ = np.asarray(fn(*args, carry0)[-1])  # warm / compile
+    ts = {}
+    for K in reps:
+        carry = carry0
+        t0 = time.perf_counter()
+        for i in range(K):
+            out = fn(*make_args(i), carry)
+            carry = out[-1]
+        _ = np.asarray(carry)
+        ts[K] = time.perf_counter() - t0
+    return (ts[reps[1]] - ts[reps[0]]) / (reps[1] - reps[0])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from annlite_tpu.ops.adc import adc_scores
+    from annlite_tpu.ops.topk import refined_topk
+
+    N, D, Q, TOPK = 1_000_000, 768, 64, 10
+    key = jax.random.PRNGKey(0)
+    kx, kq, kc = jax.random.split(key, 3)
+    carry0 = jnp.float32(0.0)
+
+    # ---- config 1: flat cosine scan, 1M x 768-d (reference headline) ----
+    x = jax.random.normal(kx, (N, D), dtype=jnp.float32)
+    x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+    qs = [
+        jax.random.normal(jax.random.PRNGKey(100 + i), (Q, D), dtype=jnp.float32)
+        for i in range(12)
+    ]
+
+    @jax.jit
+    def flat_search(q, x, carry):
+        q = q + carry * 1e-12
+        scores = 1.0 - jnp.dot(q, x.T, preferred_element_type=jnp.float32)
+        d, i = refined_topk(scores, TOPK)
+        return d, i, d[0, 0]
+
+    t_flat = chain_time(flat_search, lambda i: (qs[i], x), carry0)
+    flat_qps = Q / t_flat
+    t_b1 = chain_time(flat_search, lambda i: (qs[i][:1], x), carry0)
+
+    # measured recall of the refined-approx reduction vs exact top_k
+    @jax.jit
+    def flat_exact(q, x):
+        scores = 1.0 - jnp.dot(q, x.T, preferred_element_type=jnp.float32)
+        neg, i = jax.lax.top_k(-scores, TOPK)
+        return i
+
+    approx_idx = np.asarray(flat_search(qs[0], x, carry0)[1])
+    exact_idx = np.asarray(flat_exact(qs[0], x))
+    flat_recall = float(
+        np.mean([len(set(approx_idx[i]) & set(exact_idx[i])) / TOPK for i in range(Q)])
+    )
+    del x
+
+    # ---- config 2: PQ64 ADC at 1M with measured recall@10 ----
+    M, K, D2 = 64, 256, 128
+    n_small = 200_000
+    kx2, kq2 = jax.random.split(kc)
+    centers = jax.random.normal(kx2, (1024, D2), dtype=jnp.float32) * 2.0
+    labels = jax.random.randint(kq2, (n_small,), 0, 1024)
+    xs_np = np.asarray(centers[labels] + jax.random.normal(kq2, (n_small, D2)))
+
+    from annlite_tpu.codecs import PQCodec
+
+    pq = PQCodec(dim=D2, n_subvectors=M, n_clusters=K, metric='euclidean', n_init=1)
+    pq.fit(xs_np[:20000], iter=15)
+    codes = pq.encode(xs_np)
+    qv = xs_np[:Q]
+    dtable = jnp.asarray(pq.get_dist_mat(qv))
+
+    @jax.jit
+    def adc_search(dtable, codes_t, carry):
+        dtable = dtable + carry * 1e-12
+        scores = adc_scores(dtable, codes_t)
+        d, i = refined_topk(scores, TOPK)
+        return d, i, d[0, 0]
+
+    # recall on the 200k subset vs exact ground truth
+    codes_t_small = jnp.asarray(codes.T)
+    adc_idx = np.asarray(adc_search(dtable, codes_t_small, carry0)[1])
+
+    @jax.jit
+    def exact_l2(qv, xs):
+        d = (
+            jnp.sum(qv * qv, axis=1)[:, None]
+            + jnp.sum(xs * xs, axis=1)[None, :]
+            - 2
+            * jnp.dot(
+                qv,
+                xs.T,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+        neg, idx = jax.lax.top_k(-d, TOPK)
+        return idx
+
+    gt_idx = np.asarray(exact_l2(jnp.asarray(qv), jnp.asarray(xs_np)))
+    recall10 = float(
+        np.mean([len(set(gt_idx[i]) & set(adc_idx[i])) / TOPK for i in range(Q)])
+    )
+
+    # ADC throughput at the full 1M scale (random codes: timing is
+    # value-independent)
+    codes_1m = jax.random.randint(kx2, (M, N), 0, K, dtype=jnp.int32).astype(
+        jnp.uint8
+    )
+    dts = [
+        jnp.asarray(pq.get_dist_mat(xs_np[64 * i : 64 * (i + 1)])) for i in range(12)
+    ]
+    t_adc_1m = chain_time(adc_search, lambda i: (dts[i], codes_1m), carry0)
+    adc_qps_1m = Q / t_adc_1m
+
+    baseline_qps = 64 / 5.778  # reference README.md:350, batch=64 @ 1M
+    result = {
+        'metric': 'qps_1M_768d_batch64_flat_cosine_top10',
+        'value': round(flat_qps, 1),
+        'unit': 'queries/s',
+        'vs_baseline': round(flat_qps / baseline_qps, 1),
+        'extras': {
+            'flat_batch64_latency_ms': round(t_flat * 1e3, 2),
+            'flat_batch1_latency_ms': round(t_b1 * 1e3, 2),
+            'flat_recall_at_10_vs_exact': round(flat_recall, 4),
+            'adc_pq64_1M_batch64_qps': round(adc_qps_1m, 1),
+            'adc_pq64_1M_batch64_latency_ms': round(t_adc_1m * 1e3, 2),
+            'adc_pq64_recall_at_10': round(recall10, 4),
+            'baseline_qps': round(baseline_qps, 2),
+            'baseline_recall': '<1.0 (HNSW ef=50)',
+            'device': str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()
