@@ -1,0 +1,190 @@
+"""Graph ANN index: host C++ Vamana construction + device batched beam
+search.
+
+The TPU re-expression of the reference's HNSW stack
+(`annlite/core/index/hnsw/index.py` + `include/hnswlib/hnswalg.h`):
+construction happens host-side in native code (`native/vamana.cpp`, like
+hnswlib's `addPoint` path) producing a dense padded adjacency tensor; the
+serving path runs entirely on device (`ops/beam.py`), optionally scoring
+with PQ codes (the reference's `PQ_Space`, `include/hnswlib/space_pq.h`)
+followed by an exact rerank over bf16 vectors kept in HBM.
+
+Filtered search: graph traversal scores every visited node, so the
+predicate is applied at *selection* (masked candidates are excluded from
+the result list but still route) — with a beam over-width to keep enough
+passing candidates.  For highly-selective filters the container should
+prefer the masked linear scan (`PQScanIndex`/`FlatIndex`); this mirrors the
+reference's own fallback when candidates < limit
+(`annlite/core/index/hnsw/index.py:151-157`).
+"""
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codecs import PQCodec
+from ..enums import Metric
+from ..math import l2_normalize
+from ..ops.beam import BIG, NO_ID, beam_search_pq, beam_search_vectors
+from .base import BaseIndex
+from .vamana_lib import VamanaGraph
+
+
+class GraphIndex(BaseIndex):
+    def __init__(
+        self,
+        dim: int,
+        metric: Metric = Metric.COSINE,
+        max_degree: int = 32,
+        alpha: float = 1.2,
+        l_build: int = 64,
+        ef_search: int = 64,
+        beam_width: int = 4,
+        pq_codec: Optional[PQCodec] = None,
+        rerank: int = 0,
+        n_threads: int = 0,
+        **kwargs,
+    ):
+        super().__init__(dim=dim, metric=metric, **kwargs)
+        self.max_degree = max_degree
+        self.ef_search = ef_search
+        self.beam_width = beam_width
+        self.pq_codec = pq_codec
+        self.rerank = rerank
+        self.n_threads = n_threads
+        metric_ip = self.metric != Metric.EUCLIDEAN
+        self._graph = VamanaGraph(
+            dim, max_degree=max_degree, alpha=alpha, metric_ip=metric_ip,
+            l_build=l_build,
+        )
+        self._vectors = np.zeros((0, dim), dtype=np.float32)  # host copy
+        self._dev_adj = None
+        self._dev_vectors = None
+        self._dev_codes = None
+        self._dirty = True
+
+    @property
+    def size(self) -> int:
+        return self._graph.size
+
+    @property
+    def capacity(self) -> int:
+        return self._graph.size
+
+    def _prep(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float32).reshape(-1, self.dim)
+        if self.metric == Metric.COSINE:
+            x = np.asarray(l2_normalize(x))
+        return x
+
+    def add_with_ids(self, x: np.ndarray, ids: np.ndarray):
+        """Graph nodes are global rows — inserts must be contiguous appends
+        (the container guarantees this)."""
+        ids = np.asarray(ids)
+        if len(ids) and not (
+            ids[0] == self.size and np.all(np.diff(ids) == 1)
+        ):
+            raise ValueError(
+                f'GraphIndex requires contiguous appends; got rows starting '
+                f'{ids[:3]} at size {self.size}'
+            )
+        x = self._prep(x)
+        self._graph.add(x, n_threads=self.n_threads)
+        self._vectors = np.concatenate([self._vectors, x])
+        self._dirty = True
+
+    def _sync_device(self):
+        if not self._dirty:
+            return
+        self._dev_adj = jnp.asarray(self._graph.adjacency())
+        if self.pq_codec is not None:
+            codes = self.pq_codec.encode(self._vectors)
+            self._dev_codes = jnp.asarray(codes)  # row-major [N, M]
+        if self.pq_codec is None or self.rerank > 0:
+            dt = jnp.bfloat16 if self.pq_codec is not None else jnp.float32
+            self._dev_vectors = jnp.asarray(self._vectors, dtype=dt)
+        self._dirty = False
+
+    def search(self, query: np.ndarray, limit: int = 10, mask: Optional[np.ndarray] = None):
+        if self.size == 0:
+            return (
+                np.zeros((len(np.atleast_2d(query)), 0), dtype=np.float32),
+                np.zeros((len(np.atleast_2d(query)), 0), dtype=np.int64),
+            )
+        query = self._prep(query)
+        self._sync_device()
+        q = query.shape[0]
+        ef = max(self.ef_search, 4 * limit)
+        entry = jnp.full((q, 1), self._graph.medoid, dtype=jnp.int32)
+        metric_euclidean = self.metric == Metric.EUCLIDEAN
+        if self.pq_codec is not None:
+            dtable = jnp.asarray(self.pq_codec.get_dist_mat(query))
+            d, ids = beam_search_pq(
+                self._dev_adj, entry, self._dev_codes, dtable,
+                k=ef, L=ef, B=self.beam_width,
+            )
+            if self.rerank > 0:
+                d, ids = self._rerank_stage(query, ids, d, limit, metric_euclidean)
+            # else trimmed below
+        else:
+            d, ids = beam_search_vectors(
+                self._dev_adj, entry, self._dev_vectors, jnp.asarray(query),
+                metric_euclidean, k=ef, L=ef, B=self.beam_width,
+            )
+        d, ids = np.asarray(d), np.asarray(ids)
+        if mask is not None:
+            # predicate applied at selection: drop non-passing candidates
+            mask = np.asarray(mask).astype(bool)
+            valid = (ids >= 0) & (ids < len(mask))
+            passing = np.where(valid, mask[np.clip(ids, 0, len(mask) - 1)], False)
+            d = np.where(passing, d, BIG)
+            order = np.argsort(d, axis=1, kind='stable')
+            d = np.take_along_axis(d, order, axis=1)
+            ids = np.take_along_axis(ids, order, axis=1)
+        return d[:, :limit], ids[:, :limit]
+
+    def _rerank_stage(self, query, cand_ids, cand_d, limit, metric_euclidean):
+        r = min(self.rerank, cand_ids.shape[1])
+        cand_ids = cand_ids[:, :r]
+        cand_d = cand_d[:, :r]
+        vecs = self._dev_vectors
+        safe = jnp.clip(cand_ids, 0, vecs.shape[0] - 1)
+        cvec = vecs[safe].astype(jnp.float32)
+        qj = jnp.asarray(query)
+        if metric_euclidean:
+            d = jnp.sum((qj[:, None, :] - cvec) ** 2, axis=-1)
+        else:
+            d = 1.0 - jnp.einsum('qd,qrd->qr', qj, cvec, preferred_element_type=jnp.float32)
+        d = jnp.where(cand_d < BIG / 2, d, BIG)
+        neg, pos = jax.lax.top_k(-d, min(limit * 4, r))
+        return -neg, jnp.take_along_axis(cand_ids, pos, axis=1)
+
+    def reset(self):
+        self._graph = VamanaGraph(
+            self.dim,
+            max_degree=self.max_degree,
+            alpha=self._graph.alpha,
+            metric_ip=self._graph.metric_ip,
+            l_build=self._graph.l_build,
+        )
+        self._vectors = np.zeros((0, self.dim), dtype=np.float32)
+        self._dev_adj = self._dev_vectors = self._dev_codes = None
+        self._dirty = True
+
+    # ----- snapshot state -----
+
+    def state_arrays(self):
+        return {
+            'kind': np.array('graph'),
+            'vectors': self._vectors.copy(),
+            'adjacency': self._graph.adjacency(),
+        }
+
+    def load_state_arrays(self, state):
+        self.reset()
+        v = state['vectors']
+        if v.size:
+            self._graph.load(v, state['adjacency'])
+            self._vectors = np.asarray(v, dtype=np.float32)
+        self._dirty = True

@@ -1,4 +1,5 @@
-"""PQ linear-scan index — ADC over the whole (masked) code matrix.
+"""PQ linear-scan index — ADC over the whole (masked) code matrix, with an
+optional exact rerank stage.
 
 The TPU-native successor to both the reference's deprecated `PQIndex`
 (`annlite/core/index/pq_index.py:11-56`) and — for serving — its HNSW+PQ
@@ -6,17 +7,46 @@ path: at TPU matmul rates an exhaustive masked ADC scan over millions of
 codes beats CPU graph traversal while returning *exact-under-PQ* results
 (no graph recall loss).  Codes live transposed ``[M, N]`` so N rides the
 128-lane axis (see `ops/adc.py`).
+
+Rerank (``rerank=R > 0``): the ADC scan shortlists R candidates per query,
+their full vectors (kept in HBM as bf16) are gathered on-device and scored
+exactly, and the top-``limit`` of the reranked shortlist is returned.  This
+is the standard quantize-then-rerank recipe that lifts PQ64 recall@10 from
+~0.8 to >0.95 at ~zero marginal cost (gather is Q·R·D bytes).
 """
+from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..codecs import PQCodec
 from ..enums import Metric
-from ..ops.adc import adc_topk
+from ..math import l2_normalize
+from ..ops.adc import BIG, adc_scores
+from ..ops.topk import topk
 from .base import BaseIndex
 from .buffer import DeviceBuffer
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _rerank(query, cand_idx, cand_adc_d, vectors, limit, metric_val):
+    """Exact-score the shortlist: query [Q, D], cand_idx [Q, R],
+    vectors [N_pad, D] (bf16) -> (dists [Q, limit], rows [Q, limit])."""
+    cand = vectors[cand_idx]  # [Q, R, D] gather
+    q = query[:, None, :]  # [Q, 1, D]
+    if metric_val == int(Metric.EUCLIDEAN):
+        d = jnp.sum((q - cand.astype(jnp.float32)) ** 2, axis=-1)
+    else:  # cosine (pre-normalized at insert) / inner product
+        d = 1.0 - jnp.einsum(
+            'qd,qrd->qr', query, cand.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+    # keep masked-out/padded shortlist entries out of the final top-k
+    d = jnp.where(cand_adc_d < BIG / 2, d, BIG)
+    neg, pos = jax.lax.top_k(-d, limit)
+    return -neg, jnp.take_along_axis(cand_idx, pos, axis=1)
 
 
 class PQScanIndex(BaseIndex):
@@ -27,6 +57,8 @@ class PQScanIndex(BaseIndex):
         chunk: int = 65536,
         exact_topk: bool = False,
         recall_target: float = 0.99,
+        rerank: int = 0,
+        rerank_dtype=jnp.bfloat16,
         **kwargs,
     ):
         super().__init__(dim=dim, metric=pq_codec.metric, **kwargs)
@@ -36,8 +68,14 @@ class PQScanIndex(BaseIndex):
         self.n_subvectors = pq_codec.n_subvectors
         self.exact_topk = exact_topk
         self.recall_target = recall_target
+        self.rerank = rerank
         self._codes_t = DeviceBuffer(
             (self.n_subvectors,), np.uint8, grow_axis=1, chunk=chunk
+        )
+        self._vectors = (
+            DeviceBuffer((dim,), np.dtype(rerank_dtype), grow_axis=0, chunk=chunk)
+            if rerank > 0
+            else None
         )
 
     @property
@@ -48,15 +86,26 @@ class PQScanIndex(BaseIndex):
     def capacity(self) -> int:
         return self._codes_t.capacity
 
+    def _prep(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float32).reshape(-1, self.dim)
+        if self.pq_codec.normalize_input:
+            x = np.asarray(l2_normalize(x))
+        return x
+
     def add_with_ids(self, x: np.ndarray, ids: np.ndarray, codes: Optional[np.ndarray] = None):
         """Encode (or take precomputed codes) and write at global rows."""
+        x = self._prep(x)
         if codes is None:
-            codes = self.pq_codec.encode(np.asarray(x, dtype=np.float32))
+            codes = self.pq_codec.encode(x)
         self._codes_t.write(np.asarray(ids), codes.T)
+        if self._vectors is not None:
+            self._vectors.write(np.asarray(ids), x.astype(self._vectors.dtype))
 
     def search(self, query: np.ndarray, limit: int = 10, mask: Optional[np.ndarray] = None):
-        query = np.asarray(query, dtype=np.float32).reshape(-1, self.dim)
-        dtable = jnp.asarray(self.pq_codec.get_dist_mat(query))
+        query = self._prep(query)
+        dtable = jnp.asarray(self.pq_codec.get_dist_mat(
+            np.asarray(query, dtype=np.float32)
+        ))
         codes_t = self._codes_t.device_view()
         n_pad = codes_t.shape[1]
         m = np.zeros(n_pad, dtype=np.int8)
@@ -65,26 +114,35 @@ class PQScanIndex(BaseIndex):
         else:
             m[: self.size] = np.asarray(mask[: self.size], dtype=np.int8)
         k = min(limit, max(self.size, 1))
-        d, idx = adc_topk(
-            dtable,
-            codes_t,
-            k,
-            mask=jnp.asarray(m),
-            exact=self.exact_topk,
-            recall_target=self.recall_target,
-        )
+        scores = adc_scores(dtable, codes_t, jnp.asarray(m))
+        if self.rerank > 0:
+            r = min(max(self.rerank, k), scores.shape[1])
+            adc_d, cand = topk(scores, r, exact=self.exact_topk)
+            vecs = self._vectors.device_view()
+            d, idx = _rerank(
+                jnp.asarray(query), cand, adc_d, vecs, k, int(self.metric)
+            )
+        else:
+            d, idx = topk(scores, k, exact=self.exact_topk)
         return np.asarray(d), np.asarray(idx)
 
     def reset(self):
         self._codes_t.reset()
+        if self._vectors is not None:
+            self._vectors.reset()
 
     # ----- snapshot state (see AnnLite.dump_index) -----
 
     def state_arrays(self):
-        return {
+        out = {
             'kind': np.array('pq_scan'),
             'codes_t': self._codes_t.host_view().copy(),
         }
+        if self._vectors is not None:
+            out['vectors'] = np.asarray(
+                self._vectors.host_view(), dtype=np.float32
+            )
+        return out
 
     def load_state_arrays(self, state):
         self.reset()
@@ -92,3 +150,7 @@ class PQScanIndex(BaseIndex):
         if ct.size:
             rows = np.arange(ct.shape[1])
             self._codes_t.write(rows, ct)
+            if self._vectors is not None and 'vectors' in state:
+                self._vectors.write(
+                    rows, state['vectors'].astype(self._vectors.dtype)
+                )

@@ -28,6 +28,7 @@ from .doc import Doc, docs_to_embeddings
 from .enums import Metric, parse_metric
 from .helper import setup_logging
 from .index.flat import FlatIndex
+from .index.graph import GraphIndex
 from .index.pq_scan import PQScanIndex
 from .math import cdist, top_k
 
@@ -52,6 +53,11 @@ class AnnLite:
         read_only: bool = False,
         verbose: bool = False,
         exact_topk: bool = False,
+        rerank: int = 0,
+        index_type: str = 'auto',
+        max_degree: int = 32,
+        ef_construction: int = 64,
+        ef_search: int = 64,
         **kwargs,
     ):
         self.logger = setup_logging(verbose)
@@ -64,6 +70,13 @@ class AnnLite:
         self.n_components = n_components
         self.read_only = read_only
         self.exact_topk = exact_topk
+        self.rerank = rerank
+        if index_type not in ('auto', 'flat', 'pq_scan', 'graph'):
+            raise ValueError(f'unknown index_type {index_type!r}')
+        self.index_type = index_type
+        self.max_degree = max_degree
+        self.ef_construction = ef_construction
+        self.ef_search = ef_search
 
         if columns is None and filterable_attrs:
             columns = list(filterable_attrs.items())
@@ -127,9 +140,27 @@ class AnnLite:
         return True
 
     def _build_container(self):
-        if self._pq_codec is not None:
+        kind = self.index_type
+        if kind == 'auto':
+            kind = 'pq_scan' if self._pq_codec is not None else 'flat'
+        if kind == 'graph':
+            index = GraphIndex(
+                self.index_dim,
+                metric=self.metric,
+                max_degree=self.max_degree,
+                l_build=self.ef_construction,
+                ef_search=self.ef_search,
+                pq_codec=self._pq_codec,
+                rerank=self.rerank,
+            )
+        elif kind == 'pq_scan':
+            if self._pq_codec is None:
+                raise ValueError('index_type=pq_scan requires n_subvectors')
             index = PQScanIndex(
-                self.index_dim, self._pq_codec, exact_topk=self.exact_topk
+                self.index_dim,
+                self._pq_codec,
+                exact_topk=self.exact_topk,
+                rerank=self.rerank,
             )
         else:
             index = FlatIndex(self.index_dim, metric=self.metric)

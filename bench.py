@@ -132,6 +132,28 @@ def main():
         np.mean([len(set(gt_idx[i]) & set(adc_idx[i])) / TOPK for i in range(Q)])
     )
 
+    # --- reranked config (the north-star): ADC shortlist R=100 + exact
+    # rerank over bf16 vectors kept in HBM ---
+    RER = 100
+
+    @jax.jit
+    def adc_rerank_search(dtable, codes_t, qv, vecs, carry):
+        dtable = dtable + carry * 1e-12
+        scores = adc_scores(dtable, codes_t)
+        adc_d, cand = refined_topk(scores, RER)
+        cvec = vecs[cand].astype(jnp.float32)  # [Q, R, D]
+        d = jnp.sum((qv[:, None, :] - cvec) ** 2, axis=-1)
+        neg, pos = jax.lax.top_k(-d, TOPK)
+        return -neg, jnp.take_along_axis(cand, pos, axis=1), d[0, 0]
+
+    vecs_small = jnp.asarray(xs_np, dtype=jnp.bfloat16)
+    rr_idx = np.asarray(
+        adc_rerank_search(dtable, codes_t_small, jnp.asarray(qv), vecs_small, carry0)[1]
+    )
+    recall10_rerank = float(
+        np.mean([len(set(gt_idx[i]) & set(rr_idx[i])) / TOPK for i in range(Q)])
+    )
+
     # ADC throughput at the full 1M scale (random codes: timing is
     # value-independent)
     codes_1m = jax.random.randint(kx2, (M, N), 0, K, dtype=jnp.int32).astype(
@@ -142,6 +164,15 @@ def main():
     ]
     t_adc_1m = chain_time(adc_search, lambda i: (dts[i], codes_1m), carry0)
     adc_qps_1m = Q / t_adc_1m
+
+    # reranked throughput at 1M (random bf16 vectors for the gather cost)
+    vecs_1m = jax.random.normal(kx2, (N, D2), dtype=jnp.bfloat16)
+    qv_j = jnp.asarray(qv)
+    t_rr_1m = chain_time(
+        adc_rerank_search, lambda i: (dts[i], codes_1m, qv_j, vecs_1m), carry0
+    )
+    rr_qps_1m = Q / t_rr_1m
+    del vecs_1m
 
     baseline_qps = 64 / 5.778  # reference README.md:350, batch=64 @ 1M
     result = {
@@ -156,6 +187,8 @@ def main():
             'adc_pq64_1M_batch64_qps': round(adc_qps_1m, 1),
             'adc_pq64_1M_batch64_latency_ms': round(t_adc_1m * 1e3, 2),
             'adc_pq64_recall_at_10': round(recall10, 4),
+            'adc_pq64_rerank100_1M_batch64_qps': round(rr_qps_1m, 1),
+            'adc_pq64_rerank100_recall_at_10': round(recall10_rerank, 4),
             'baseline_qps': round(baseline_qps, 2),
             'baseline_recall': '<1.0 (HNSW ef=50)',
             'device': str(jax.devices()[0]),

@@ -1,0 +1,107 @@
+"""Graph index: C++ Vamana build + device beam search (replaces reference
+HNSW tests `tests/test_hnsw_load_save.py`)."""
+import numpy as np
+import pytest
+
+from annlite_tpu.codecs import PQCodec
+from annlite_tpu.enums import Metric
+from annlite_tpu.index.graph import GraphIndex
+
+D = 32
+N = 2000
+
+
+@pytest.fixture
+def data(rng):
+    centers = rng.standard_normal((8, D)).astype(np.float32) * 3
+    return (centers[rng.integers(0, 8, N)] + rng.standard_normal((N, D))).astype(np.float32)
+
+
+def test_build_and_search_recall(data):
+    idx = GraphIndex(D, metric=Metric.EUCLIDEAN, max_degree=24, ef_search=64)
+    idx.add_with_ids(data, np.arange(N))
+    assert idx.size == N
+    q = data[:10]
+    d, ids = idx.search(q, limit=10)
+    assert (np.diff(d, axis=1) >= -1e-4).all()
+    exact = np.argsort(((q[:, None] - data[None]) ** 2).sum(-1), axis=1)[:, :10]
+    rec = np.mean([len(set(exact[i]) & set(ids[i].tolist())) / 10 for i in range(10)])
+    assert rec > 0.8, f'recall {rec}'
+
+
+def test_incremental_append(data):
+    idx = GraphIndex(D, metric=Metric.EUCLIDEAN, max_degree=24)
+    idx.add_with_ids(data[:1000], np.arange(1000))
+    idx.add_with_ids(data[1000:], np.arange(1000, N))
+    assert idx.size == N
+    _, ids = idx.search(data[1500:1501], limit=5)
+    assert 1500 in ids[0].tolist()
+
+
+def test_non_contiguous_ids_rejected(data):
+    idx = GraphIndex(D)
+    with pytest.raises(ValueError):
+        idx.add_with_ids(data[:10], np.arange(5, 15))
+
+
+def test_masked_search(data):
+    idx = GraphIndex(D, metric=Metric.EUCLIDEAN, max_degree=24, ef_search=128)
+    idx.add_with_ids(data, np.arange(N))
+    mask = np.zeros(N, dtype=bool)
+    mask[::2] = True
+    d, ids = idx.search(data[:5], limit=10, mask=mask)
+    valid = d < 1e37
+    assert valid.any()
+    assert (ids[valid] % 2 == 0).all()
+
+
+def test_pq_scoring_with_rerank(data):
+    pq = PQCodec(dim=D, n_subvectors=8, n_clusters=32, metric=Metric.EUCLIDEAN, n_init=1)
+    pq.fit(data, iter=15)
+    idx = GraphIndex(D, metric=Metric.EUCLIDEAN, max_degree=24, ef_search=64,
+                     pq_codec=pq, rerank=64)
+    idx.add_with_ids(data, np.arange(N))
+    q = data[:10]
+    d, ids = idx.search(q, limit=10)
+    exact = np.argsort(((q[:, None] - data[None]) ** 2).sum(-1), axis=1)[:, :10]
+    rec = np.mean([len(set(exact[i]) & set(ids[i].tolist())) / 10 for i in range(10)])
+    assert rec > 0.7, f'recall {rec}'
+
+
+def test_state_roundtrip(data):
+    idx = GraphIndex(D, metric=Metric.EUCLIDEAN, max_degree=24)
+    idx.add_with_ids(data, np.arange(N))
+    q = data[:5]
+    _, ids_before = idx.search(q, limit=10)
+    state = idx.state_arrays()
+
+    idx2 = GraphIndex(D, metric=Metric.EUCLIDEAN, max_degree=24)
+    idx2.load_state_arrays(state)
+    assert idx2.size == N
+    _, ids_after = idx2.search(q, limit=10)
+    np.testing.assert_array_equal(ids_before, ids_after)
+
+
+def test_graph_via_facade(tmp_index_path, data):
+    from annlite_tpu import AnnLite
+    from annlite_tpu.doc import Doc
+
+    ann = AnnLite(n_dim=D, metric='euclidean', index_type='graph',
+                  columns=[('i', int)], data_path=tmp_index_path)
+    ann.index([Doc(id=f'doc{i}', embedding=data[i], tags={'i': i}) for i in range(N)])
+    res = ann.search([Doc(id='q', embedding=data[7])], limit=5)
+    assert res[0].matches[0].id == 'doc7'
+    # filtered
+    out = ann.search_by_vectors(data[:2], filter={'i': {'$lt': 500}}, limit=5,
+                                include_metadata=True)
+    for m in out[0]:
+        assert m.tags['i'] < 500
+    # persistence round-trip
+    ann.dump()
+    ann.close()
+    b = AnnLite(n_dim=D, metric='euclidean', index_type='graph',
+                columns=[('i', int)], data_path=tmp_index_path)
+    assert b.index_size == N
+    res = b.search([Doc(id='q', embedding=data[7])], limit=5)
+    assert res[0].matches[0].id == 'doc7'
+    b.close()

@@ -130,3 +130,30 @@ def test_vq_cells_search(tmp_index_path, data):
     _, ids = ann.search_numpy(data[:5], limit=5)
     for i in range(5):
         assert ids[i][0] == f'doc{i}'
+
+
+def test_rerank_improves_recall(tmp_index_path, data):
+    """Quantize-then-rerank: rerank recall must dominate plain ADC recall
+    and exceed the north-star threshold on clustered data."""
+
+    def recall_for(**kw):
+        import shutil
+        shutil.rmtree(tmp_index_path, ignore_errors=True)
+        ann = AnnLite(n_dim=D, metric='euclidean', n_subvectors=8,
+                      data_path=tmp_index_path, **kw)
+        ann.train(data)
+        ann.index(_docs(data))
+        _, ids = ann.search_numpy(data[:20], limit=10)
+        exact = ((data[:20, None, :] - data[None]) ** 2).sum(-1)
+        exact_ids = np.argsort(exact, axis=1)[:, :10]
+        r = np.mean([
+            len({f'doc{j}' for j in exact_ids[i]} & set(ids[i])) / 10
+            for i in range(20)
+        ])
+        ann.close()
+        return r
+
+    r_plain = recall_for()
+    r_rerank = recall_for(rerank=100)
+    assert r_rerank >= r_plain
+    assert r_rerank > 0.95, f'reranked recall {r_rerank}'
