@@ -1,0 +1,229 @@
+"""AnnLiteIndexer — the serving executor.
+
+Re-expression of the reference Jina executor (`annlite/executor.py:98-389`)
+without Jina: same endpoint surface (/index /update /delete /search /filter
+/fill_embedding /status /backup /restore /clear, `executor.py:115-374`),
+same async-ingest design — a bounded write buffer drained by a background
+thread in batches of ``INDEX_BATCH_SIZE`` with backpressure at 2x
+(`executor.py:86-89,141-175`), update/delete refusing while the buffer is
+non-empty (`executor.py:199-238`), per-shard workspace naming for
+backup/restore (`executor.py:292-316`).
+
+Transport lives in `serving/http.py`; this class is transport-agnostic so a
+gRPC front-end can reuse it.
+"""
+import threading
+import time
+import traceback
+from pathlib import Path
+from typing import Dict, List, Optional
+
+from ..doc import Doc
+from ..helper import setup_logging
+from ..index_api import AnnLite
+
+INDEX_BATCH_SIZE = 1024
+
+
+class AnnLiteIndexer:
+    def __init__(
+        self,
+        n_dim: int = 0,
+        metric: str = 'cosine',
+        limit: int = 10,
+        match_args: Optional[Dict] = None,
+        data_path: Optional[str] = None,
+        workspace: Optional[str] = None,
+        shard_id: int = 0,
+        shards: int = 1,
+        verbose: bool = False,
+        **index_kwargs,
+    ):
+        if not n_dim:
+            raise ValueError('Please specify the dimension of the vectors `n_dim`')
+        if shards > 1 and data_path:
+            raise ValueError(
+                '`data_path` is not supported when shards > 1, please use `workspace` instead'
+            )
+        self.metric = metric
+        self.match_args = match_args or {}
+        self.limit = limit
+        self.shard_id = shard_id
+        self.shards = shards
+        self.logger = setup_logging(verbose, name=f'executor.shard{shard_id}')
+
+        workspace = workspace or './workspace'
+        path = data_path or str(Path(workspace) / f'shard_{shard_id}')
+        self._index = AnnLite(
+            n_dim=n_dim, metric=metric, data_path=path, verbose=verbose, **index_kwargs
+        )
+
+        self._data_buffer: List[Doc] = []
+        self._index_batch_size = INDEX_BATCH_SIZE
+        self._max_length_queue = 2 * self._index_batch_size
+        self._index_lock = threading.RLock()
+        self._stop = False
+        self._warmup_device()
+        self._start_index_loop()
+
+    @staticmethod
+    def _warmup_device():
+        """Force jax backend init + one round-trip on the MAIN thread.
+        The first device computation issued from a background thread can
+        deadlock on some platforms (observed on the axon TPU tunnel); after
+        a main-thread warm-up, threaded dispatch is reliable."""
+        import jax.numpy as jnp
+        import numpy as _np
+
+        _np.asarray(jnp.ones(4) * 2)
+
+    # ------------------------------------------------------------------
+    # async ingest
+    # ------------------------------------------------------------------
+
+    def _start_index_loop(self):
+        def _index_loop():
+            try:
+                while not self._stop:
+                    if not self._data_buffer:
+                        time.sleep(0.05)
+                        continue
+                    with self._index_lock:
+                        n = min(len(self._data_buffer), self._index_batch_size)
+                        batch, self._data_buffer = (
+                            self._data_buffer[:n],
+                            self._data_buffer[n:],
+                        )
+                        self._index.index(batch)
+                        self.logger.debug(f'indexed {n} docs')
+            except Exception:
+                self.logger.error(traceback.format_exc())
+                raise
+
+        self._index_thread = threading.Thread(target=_index_loop, daemon=True)
+        self._index_thread.start()
+
+    def flush(self):
+        """Block until the write buffer is fully drained AND the in-flight
+        batch has committed (the lock is held while a batch indexes)."""
+        while True:
+            with self._index_lock:
+                if not self._data_buffer:
+                    return
+            time.sleep(0.01)
+
+    # ------------------------------------------------------------------
+    # endpoints
+    # ------------------------------------------------------------------
+
+    def index(self, docs: Optional[List[Doc]] = None, parameters: Dict = None, **kw):
+        if not docs:
+            return
+        # backpressure (reference `executor.py:135-136`)
+        while len(self._data_buffer) >= self._max_length_queue:
+            time.sleep(0.001)
+        with self._index_lock:
+            self._data_buffer.extend(docs)
+
+    def update(self, docs: Optional[List[Doc]] = None, parameters: Dict = None, **kw):
+        if not docs:
+            return
+        parameters = parameters or {}
+        with self._index_lock:
+            if self._data_buffer:
+                raise RuntimeError(
+                    'Cannot update documents while pending documents in the '
+                    'buffer are not indexed yet.'
+                )
+            self._index.update(
+                docs,
+                insert_if_not_found=bool(parameters.get('insert_if_not_found', False)),
+                raise_errors_on_not_found=bool(
+                    parameters.get('raise_errors_on_not_found', False)
+                ),
+            )
+
+    def delete(self, parameters: Dict = None, **kw):
+        parameters = parameters or {}
+        ids = parameters.get('ids', [])
+        if not ids:
+            return
+        with self._index_lock:
+            if self._data_buffer:
+                raise RuntimeError(
+                    'Cannot delete documents while pending documents in the '
+                    'buffer are not indexed yet.'
+                )
+            self._index.delete(
+                ids,
+                raise_errors_on_not_found=bool(
+                    parameters.get('raise_errors_on_not_found', False)
+                ),
+            )
+
+    def search(self, docs: Optional[List[Doc]] = None, parameters: Dict = None, **kw):
+        if not docs:
+            return []
+        parameters = parameters or {}
+        match_args = dict(self.match_args)
+        match_args.update(parameters)
+        flt = match_args.get('filter', None)
+        limit = int(match_args.get('limit', self.limit))
+        include_metadata = bool(match_args.get('include_metadata', True))
+        return self._index.search(
+            docs, filter=flt, limit=limit, include_metadata=include_metadata
+        )
+
+    def filter(self, parameters: Dict = None, **kw) -> List[Doc]:
+        parameters = parameters or {}
+        return self._index.filter(
+            filter=parameters.get('filter', None),
+            limit=int(parameters.get('limit', self.limit)),
+            offset=int(parameters.get('offset', 0)),
+            order_by=parameters.get('order_by', None),
+            ascending=bool(parameters.get('ascending', True)),
+            include_metadata=bool(parameters.get('include_metadata', True)),
+        )
+
+    def fill_embedding(self, docs: Optional[List[Doc]] = None, **kw):
+        """Retrieve stored embeddings for the given doc ids
+        (reference `executor.py:318-338`)."""
+        if not docs:
+            return []
+        for doc in docs:
+            got = self._index.get_doc_by_id(doc.id)
+            if got is not None:
+                doc.embedding = got.embedding
+                doc.tags = got.tags
+        return docs
+
+    def status(self, **kw) -> Dict:
+        stat = dict(self._index.stat)
+        stat['shard_id'] = self.shard_id
+        stat['buffer_size'] = len(self._data_buffer)
+        return stat
+
+    def backup(self, parameters: Dict = None, **kw):
+        parameters = parameters or {}
+        target = parameters.get('target_name') or parameters.get('name')
+        self.flush()
+        name = f'{target}_shard_{self.shard_id}' if target else None
+        return str(self._index.backup(name))
+
+    def restore(self, parameters: Dict = None, **kw):
+        parameters = parameters or {}
+        source = parameters.get('source_name') or parameters.get('name')
+        name = f'{source}_shard_{self.shard_id}' if source else None
+        self._index.restore(name)
+
+    def clear(self, **kw):
+        self.flush()
+        with self._index_lock:
+            self._data_buffer = []
+            self._index.clear()
+
+    def close(self):
+        self.flush()
+        self._stop = True
+        self._index_thread.join(timeout=5)
+        self._index.close()

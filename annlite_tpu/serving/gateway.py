@@ -1,0 +1,96 @@
+"""Shard gateway: scatter/gather over N executor HTTP servers.
+
+Mirrors the reference's only distributed mode — Jina Flow ``shards=N`` with
+polling ``{'/index': 'ANY', '/search': 'ALL'}`` and gateway-side match
+merging (`tests/executor/test_executor.py:268-340`, SURVEY.md §2.3 item 5):
+writes go to ONE shard (round-robin), reads broadcast to ALL shards and the
+per-shard top-k are merged by score.  Transport is plain HTTP/JSON (urllib,
+no extra deps) — suitable for host-level sharding; on-chip scale-out uses
+`annlite_tpu.parallel` collectives instead.
+"""
+import json
+import urllib.request
+from typing import Dict, List, Optional
+
+
+class Gateway:
+    def __init__(self, shard_urls: List[str], timeout: float = 60.0):
+        if not shard_urls:
+            raise ValueError('need at least one shard url')
+        self.shard_urls = list(shard_urls)
+        self.timeout = timeout
+        self._rr = 0
+
+    def _post(self, url: str, endpoint: str, payload: Dict) -> Dict:
+        req = urllib.request.Request(
+            f'{url}{endpoint}',
+            data=json.dumps(payload).encode(),
+            headers={'Content-Type': 'application/json'},
+            method='POST',
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            return json.loads(r.read())
+
+    def _get(self, url: str, endpoint: str) -> Dict:
+        with urllib.request.urlopen(f'{url}{endpoint}', timeout=self.timeout) as r:
+            return json.loads(r.read())
+
+    # ----- scatter writes (polling ANY) -----
+
+    def index(self, docs: List[Dict], parameters: Optional[Dict] = None):
+        url = self.shard_urls[self._rr % len(self.shard_urls)]
+        self._rr += 1
+        return self._post(url, '/index', {'docs': docs, 'parameters': parameters or {}})
+
+    # ----- broadcast + gather (polling ALL) -----
+
+    def _broadcast(self, endpoint: str, payload: Dict) -> List[Dict]:
+        return [self._post(u, endpoint, payload) for u in self.shard_urls]
+
+    def update(self, docs: List[Dict], parameters: Optional[Dict] = None):
+        return self._broadcast('/update', {'docs': docs, 'parameters': parameters or {}})
+
+    def delete(self, ids: List[str], parameters: Optional[Dict] = None):
+        p = dict(parameters or {})
+        p['ids'] = ids
+        return self._broadcast('/delete', {'parameters': p})
+
+    def search(self, docs: List[Dict], parameters: Optional[Dict] = None) -> List[Dict]:
+        """Broadcast, then merge per-shard matches by ascending score."""
+        limit = int((parameters or {}).get('limit', 10))
+        replies = self._broadcast(
+            '/search', {'docs': docs, 'parameters': parameters or {}}
+        )
+        merged = []
+        for qi, query in enumerate(docs):
+            all_matches = []
+            for rep in replies:
+                all_matches.extend(rep['results'][qi].get('matches', []))
+            all_matches.sort(key=lambda m: m.get('score', 0.0))
+            out = dict(query)
+            out['matches'] = all_matches[:limit]
+            merged.append(out)
+        return merged
+
+    def filter(self, parameters: Optional[Dict] = None) -> List[Dict]:
+        limit = int((parameters or {}).get('limit', 10))
+        replies = self._broadcast('/filter', {'parameters': parameters or {}})
+        docs = [d for rep in replies for d in rep['docs']]
+        return docs[:limit] if limit >= 0 else docs
+
+    def status(self) -> Dict:
+        stats = [self._get(u, '/status') for u in self.shard_urls]
+        return {
+            'shards': stats,
+            'total_docs': sum(s['total_docs'] for s in stats),
+            'index_size': sum(s['index_size'] for s in stats),
+        }
+
+    def backup(self, name: Optional[str] = None):
+        return self._broadcast('/backup', {'parameters': {'target_name': name}})
+
+    def restore(self, name: Optional[str] = None):
+        return self._broadcast('/restore', {'parameters': {'source_name': name}})
+
+    def clear(self):
+        return self._broadcast('/clear', {})

@@ -1,0 +1,158 @@
+"""Serving tier tests: executor logic, HTTP server (real sockets), and a
+3-shard gateway — mirrors the reference's distributed test strategy
+(`tests/executor/test_executor.py:268-377`: real transport, shards=3,
+scatter writes / broadcast reads, per-shard status sum)."""
+import time
+
+import numpy as np
+import pytest
+
+from annlite_tpu.doc import Doc
+from annlite_tpu.serving import AnnLiteIndexer, Gateway, Server
+
+D = 16
+
+
+def _docs(rng, n, start=0):
+    return [
+        Doc(
+            id=f'doc{start + i}',
+            embedding=rng.standard_normal(D).astype(np.float32),
+            tags={'i': start + i},
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.fixture
+def executor(tmp_path):
+    ex = AnnLiteIndexer(
+        n_dim=D, data_path=str(tmp_path / 'ex'), columns=[('i', int)]
+    )
+    yield ex
+    ex.close()
+
+
+def test_async_buffer_indexing(executor, rng):
+    docs = _docs(rng, 50)
+    executor.index(docs)
+    executor.flush()
+    time.sleep(0.2)  # let the batch commit
+    st = executor.status()
+    assert st['total_docs'] == 50
+    assert st['buffer_size'] == 0
+
+
+def test_update_delete_refused_while_buffered(executor, rng):
+    # grab the lock the index loop uses so the buffer can't drain
+    with executor._index_lock:
+        executor._data_buffer.extend(_docs(rng, 3))
+        with pytest.raises(RuntimeError):
+            executor.update(_docs(rng, 1))
+        with pytest.raises(RuntimeError):
+            executor.delete(parameters={'ids': ['doc0']})
+        executor._data_buffer.clear()
+
+
+def test_search_and_filter_endpoints(executor, rng):
+    docs = _docs(rng, 30)
+    executor.index(docs)
+    executor.flush()
+    time.sleep(0.3)
+    q = [Doc(id='q', embedding=docs[3].embedding)]
+    res = executor.search(q, parameters={'limit': 5})
+    assert res[0].matches[0].id == 'doc3'
+    out = executor.filter(parameters={'filter': {'i': {'$lt': 5}}, 'limit': 100})
+    assert len(out) == 5
+    filled = executor.fill_embedding([Doc(id='doc7')])
+    assert filled[0].embedding is not None
+
+
+def test_http_server_roundtrip(tmp_path, rng):
+    import json
+    import urllib.request
+
+    port = 18471
+    ex = AnnLiteIndexer(n_dim=D, data_path=str(tmp_path / 'srv'), columns=[('i', int)])
+    server = Server(ex, port=port).start()
+    try:
+        base = f'http://127.0.0.1:{port}'
+
+        def post(ep, payload):
+            req = urllib.request.Request(
+                base + ep,
+                data=json.dumps(payload).encode(),
+                headers={'Content-Type': 'application/json'},
+            )
+            return json.loads(urllib.request.urlopen(req, timeout=30).read())
+
+        docs = [
+            {'id': f'doc{i}', 'embedding': rng.standard_normal(D).tolist(), 'tags': {'i': i}}
+            for i in range(20)
+        ]
+        post('/index', {'docs': docs})
+        ex.flush()
+        time.sleep(0.3)
+        st = json.loads(urllib.request.urlopen(base + '/status', timeout=30).read())
+        assert st['total_docs'] == 20
+        r = post('/search', {'docs': [docs[4]], 'parameters': {'limit': 3}})
+        assert r['results'][0]['matches'][0]['id'] == 'doc4'
+        r = post('/filter', {'parameters': {'filter': {'i': {'$gte': 18}}, 'limit': 10}})
+        assert {d['id'] for d in r['docs']} == {'doc18', 'doc19'}
+        r = post('/delete', {'parameters': {'ids': ['doc4']}})
+        r = post('/search', {'docs': [docs[4]], 'parameters': {'limit': 3}})
+        assert all(m['id'] != 'doc4' for m in r['results'][0]['matches'])
+    finally:
+        server.stop()
+
+
+def test_sharded_gateway(tmp_path, rng):
+    """3 real HTTP shard servers + gateway scatter/gather
+    (reference shards=3 test, `tests/executor/test_executor.py:268-340`)."""
+    ports = [18481, 18482, 18483]
+    servers = []
+    for si, port in enumerate(ports):
+        ex = AnnLiteIndexer(
+            n_dim=D,
+            workspace=str(tmp_path / 'ws'),
+            shard_id=si,
+            shards=3,
+            columns=[('i', int)],
+        )
+        servers.append(Server(ex, port=port).start())
+    try:
+        gw = Gateway([f'http://127.0.0.1:{p}' for p in ports])
+        docs = [
+            {'id': f'doc{i}', 'embedding': rng.standard_normal(D).tolist(), 'tags': {'i': i}}
+            for i in range(30)
+        ]
+        # scatter writes in 3 chunks -> different shards
+        for i in range(0, 30, 10):
+            gw.index(docs[i : i + 10])
+        for s in servers:
+            s.executor.flush()
+        time.sleep(0.5)
+        st = gw.status()
+        assert st['total_docs'] == 30  # sum over shards
+        per_shard = [s['total_docs'] for s in st['shards']]
+        assert per_shard == [10, 10, 10]
+        # broadcast search returns global best
+        res = gw.search([docs[17]], parameters={'limit': 5})
+        assert res[0]['matches'][0]['id'] == 'doc17'
+        # delete broadcast
+        gw.delete(['doc17'])
+        res = gw.search([docs[17]], parameters={'limit': 5})
+        assert all(m['id'] != 'doc17' for m in res[0]['matches'])
+    finally:
+        for s in servers:
+            s.stop()
+
+
+def test_executor_requires_n_dim():
+    with pytest.raises(ValueError):
+        AnnLiteIndexer()
+
+
+def test_shards_forbid_data_path(tmp_path):
+    with pytest.raises(ValueError):
+        AnnLiteIndexer(n_dim=D, shards=2, data_path=str(tmp_path / 'x'))

@@ -1,0 +1,77 @@
+import numpy as np
+import pytest
+
+from annlite_tpu.artifacts import LocalTransport, Merger, Uploader, merge_files, split_file
+from annlite_tpu.utils import docs_with_tags, evaluate, precision, recall, recall_at_k
+
+
+def test_precision_recall():
+    assert precision(['a', 'b', 'c'], ['a', 'c'], 2) == 0.5
+    assert recall(['a', 'b', 'c'], ['a', 'c'], 3) == 1.0
+    assert precision([], ['a'], 5) == 0.0
+    assert recall(['a'], [], 5) == 0.0
+    out = evaluate([['a', 'b']], [['a']], eval_at=2)
+    assert out['precision'] == 0.5 and out['recall'] == 1.0
+
+
+def test_recall_at_k():
+    pred = np.array([[1, 2, 3], [4, 5, 6]])
+    gt = np.array([[1, 9, 3], [6, 5, 4]])
+    assert recall_at_k(pred, gt, 3) == pytest.approx((2 / 3 + 1.0) / 2)
+
+
+def test_docs_with_tags():
+    docs = docs_with_tags(10, 8)
+    assert len(docs) == 10
+    assert all('price' in d.tags and 'category' in d.tags for d in docs)
+    assert docs[0].embedding.shape == (8,)
+
+
+def test_split_merge_roundtrip(tmp_path):
+    big = tmp_path / 'big.bin'
+    data = np.random.default_rng(0).bytes(1000)
+    big.write_bytes(data)
+    parts = split_file(big, 300, tmp_path / 'parts')
+    assert len(parts) == 4
+    merged = merge_files(parts, tmp_path / 'merged.bin')
+    assert merged.read_bytes() == data
+
+
+def test_uploader_merger_roundtrip(tmp_path):
+    src = tmp_path / 'backup'
+    (src / 'model').mkdir(parents=True)
+    (src / 'snapshot').mkdir(parents=True)
+    (src / 'model' / 'pq.npz').write_bytes(b'model-bytes' * 100)
+    (src / 'snapshot' / 'cells.db').write_bytes(b'cells' * 1000)
+    (src / 'docs.db').write_bytes(np.random.default_rng(1).bytes(5000))
+
+    transport = LocalTransport(tmp_path / 'remote')
+    up = Uploader(transport, size_limit_mb=1)
+    uploaded = up.upload_directory('backup1', src)
+    assert len(uploaded) == 3
+    assert transport.exists('backup1')
+    # skip-if-exists
+    assert up.upload_directory('backup1', src) == []
+
+    out = Merger(transport).restore_directory('backup1', tmp_path / 'restored')
+    assert (out / 'model' / 'pq.npz').read_bytes() == b'model-bytes' * 100
+    assert (out / 'docs.db').read_bytes() == (src / 'docs.db').read_bytes()
+
+
+def test_uploader_splits_large_files(tmp_path):
+    src = tmp_path / 'backup'
+    src.mkdir()
+    big = np.random.default_rng(2).bytes(3 * 1024 * 1024)
+    (src / 'big.bin').write_bytes(big)
+    transport = LocalTransport(tmp_path / 'remote')
+    Uploader(transport, size_limit_mb=1).upload_directory('b2', src)
+    arts = transport.list('b2')
+    assert len(arts) == 3  # 3 parts
+    out = Merger(transport).restore_directory('b2', tmp_path / 'restored')
+    assert (out / 'big.bin').read_bytes() == big
+
+
+def test_merger_missing_raises(tmp_path):
+    transport = LocalTransport(tmp_path / 'remote')
+    with pytest.raises(FileNotFoundError):
+        Merger(transport).restore_directory('ghost', tmp_path / 'x')
