@@ -110,7 +110,12 @@ class CellContainer:
         doc_ids = [d.id for d in docs]
         with self._lock:
             rows = self.cell_table.insert(doc_ids, cells, tag_rows)
-            self.index.add_with_ids(self._project(data), np.asarray(rows))
+            if getattr(self.index, 'wants_cells', False):
+                self.index.add_with_ids(
+                    self._project(data), np.asarray(rows), cells=cells
+                )
+            else:
+                self.index.add_with_ids(self._project(data), np.asarray(rows))
             self.meta_table.bulk_add_address(doc_ids, cells, rows)
             self._grow_columns(max(rows) + 1)
             r = np.asarray(rows)
@@ -149,6 +154,8 @@ class CellContainer:
             with self._lock:
                 self.cell_table.delete([doc.id])
                 self._alive[old_row] = False
+                if hasattr(self.index, 'delete_rows'):
+                    self.index.delete_rows([old_row])
             self.insert(data[i : i + 1], cells[i : i + 1], [doc])
         if to_insert_idx:
             sel = np.asarray(to_insert_idx)
@@ -163,6 +170,8 @@ class CellContainer:
                         raise ValueError(f'doc {doc_id} not found in the index')
                     continue
                 self._alive[np.asarray(rows)] = False
+                if hasattr(self.index, 'delete_rows'):
+                    self.index.delete_rows(rows)
                 self.meta_table.delete_address(doc_id)
             self.doc_store.delete([doc_id])
 
@@ -189,7 +198,9 @@ class CellContainer:
     ) -> Tuple[List[List[Doc]], np.ndarray, List[List[str]]]:
         """Batched search; returns (match_docs, dists, doc_ids)
         (reference `container.py:201-260`)."""
-        dists, doc_ids = self.search_numpy(query, filter=filter, limit=limit)
+        dists, doc_ids = self.search_numpy(
+            query, filter=filter, limit=limit, cells=cells
+        )
         results = []
         for q_ids, q_dists in zip(doc_ids, dists):
             matches = []
@@ -209,14 +220,19 @@ class CellContainer:
         query: np.ndarray,
         filter: Optional[Dict] = None,
         limit: int = 10,
+        cells: Optional[np.ndarray] = None,
     ) -> Tuple[List[np.ndarray], List[List[str]]]:
         """Returns ragged (dists per query, doc_ids per query); entries with
         fewer than ``limit`` candidates return short lists (reference
-        behaviour at `container.py:130-144`)."""
+        behaviour at `container.py:130-144`).  ``cells``: probed IVF cells
+        (used by cell-aware indexes, ignored otherwise)."""
         query = np.asarray(query, dtype=np.float32)
         mask = self._build_mask(filter)
         q = self._project(query)
-        d, idx = self.index.search(q, limit=limit, mask=mask)
+        if cells is not None and getattr(self.index, 'wants_cells', False):
+            d, idx = self.index.search(q, limit=limit, mask=mask, cells=cells)
+        else:
+            d, idx = self.index.search(q, limit=limit, mask=mask)
         all_dists, all_ids = [], []
         for qi in range(d.shape[0]):
             valid = d[qi] < _SCORE_MISSING

@@ -1,0 +1,174 @@
+"""IVF-PQ index: blocked code store + block-gathered device scan.
+
+The multi-cell serving path (n_cells > 1): rows are grouped by IVF cell
+into fixed blocks (`ops/ivf.py` `BlockedCodes`) and a search scans only the
+blocks of probed cells — the reference's per-cell HNSW probe
+(`annlite/container.py:88-144`) re-expressed as a scalar-prefetch Pallas
+scan.  Optional exact rerank over bf16 vectors, as in `PQScanIndex`.
+"""
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codecs import PQCodec
+from ..enums import Metric
+from ..math import l2_normalize
+from ..ops.adc import BIG
+from ..ops.ivf import BLOCK_SIZE, BlockedCodes, ivf_scan_topk
+from .base import BaseIndex
+from .buffer import DeviceBuffer
+
+NO_ROW = -1
+
+
+class IVFPQIndex(BaseIndex):
+    wants_cells = True  # container passes per-row cell ids to add_with_ids
+
+    def __init__(
+        self,
+        dim: int,
+        pq_codec: PQCodec,
+        block_size: int = BLOCK_SIZE,
+        rerank: int = 0,
+        exact_topk: bool = False,
+        rerank_dtype=jnp.bfloat16,
+        **kwargs,
+    ):
+        super().__init__(dim=dim, metric=pq_codec.metric, **kwargs)
+        if not pq_codec.is_trained:
+            raise RuntimeError('PQCodec must be trained before building IVFPQIndex')
+        self.pq_codec = pq_codec
+        self.rerank = rerank
+        self.exact_topk = exact_topk
+        self._store = BlockedCodes(pq_codec.n_subvectors, block_size)
+        self._size = 0
+        self._vectors = (
+            DeviceBuffer((dim,), np.dtype(rerank_dtype), grow_axis=0)
+            if rerank > 0
+            else None
+        )
+
+    @property
+    def size(self) -> int:
+        return self._size
+
+    @property
+    def capacity(self) -> int:
+        return self._store.n_blocks * self._store.bs
+
+    def _prep(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float32).reshape(-1, self.dim)
+        if self.pq_codec.normalize_input:
+            x = np.asarray(l2_normalize(x))
+        return x
+
+    def add_with_ids(self, x, ids, cells=None, codes=None):
+        x = self._prep(x)
+        if cells is None:
+            cells = np.zeros(len(x), dtype=np.int32)
+        if codes is None:
+            codes = self.pq_codec.encode(x)
+        ids = np.asarray(ids)
+        self._store.append(codes, cells, ids)
+        self._size = max(self._size, int(ids.max()) + 1) if len(ids) else self._size
+        if self._vectors is not None:
+            self._vectors.write(ids, x.astype(self._vectors.dtype))
+
+    def delete_rows(self, rows):
+        self._store.delete_rows(rows)
+
+    def search(
+        self,
+        query: np.ndarray,
+        limit: int = 10,
+        mask: Optional[np.ndarray] = None,
+        cells: Optional[np.ndarray] = None,
+    ):
+        """``cells``: probed cell ids for this batch (union over queries);
+        None scans everything."""
+        query = self._prep(query)
+        dtable = jnp.asarray(self.pq_codec.get_dist_mat(query))
+        if cells is None:
+            sel = np.arange(self._store.n_blocks, dtype=np.int32)
+        else:
+            sel = self._store.select_blocks(np.unique(np.asarray(cells)))
+        if sel.size == 0:
+            q = query.shape[0]
+            return (np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int64))
+        cb, mb, rm = self._store.device_arrays()
+        if mask is not None:
+            mb = jnp.asarray(self._store.set_filter_mask(np.asarray(mask).astype(bool)))
+        k = limit if self.rerank == 0 else max(self.rerank, limit)
+        d, rows = ivf_scan_topk(
+            jnp.asarray(sel), dtable, cb, mb, rm, k, exact=self.exact_topk
+        )
+        if self.rerank > 0:
+            d, rows = self._rerank_stage(query, rows, d, limit)
+        d, rows = np.asarray(d), np.asarray(rows)
+        return d[:, :limit], rows[:, :limit]
+
+    def _rerank_stage(self, query, cand_rows, cand_d, limit):
+        vecs = self._vectors.device_view()
+        safe = jnp.clip(cand_rows, 0, vecs.shape[0] - 1)
+        cvec = vecs[safe].astype(jnp.float32)
+        qj = jnp.asarray(query)
+        if self.metric == Metric.EUCLIDEAN:
+            d = jnp.sum((qj[:, None, :] - cvec) ** 2, axis=-1)
+        else:
+            d = 1.0 - jnp.einsum(
+                'qd,qrd->qr', qj, cvec, preferred_element_type=jnp.float32
+            )
+        d = jnp.where(cand_d < BIG / 2, d, BIG)
+        k = min(limit, d.shape[1])
+        neg, pos = jax.lax.top_k(-d, k)
+        return -neg, jnp.take_along_axis(cand_rows, pos, axis=1)
+
+    def reset(self):
+        self._store = BlockedCodes(self.pq_codec.n_subvectors, self._store.bs)
+        self._size = 0
+        if self._vectors is not None:
+            self._vectors.reset()
+
+    # ----- snapshot state -----
+
+    def state_arrays(self):
+        out = {
+            'kind': np.array('ivf_pq'),
+            'codes': self._store.codes.copy(),
+            'slot_mask': self._store.mask.copy(),
+            'row_map': self._store.row_map.copy(),
+            'block_cell': self._store.block_cell.copy(),
+            'size': np.array(self._size),
+        }
+        if self._vectors is not None:
+            out['vectors'] = np.asarray(self._vectors.host_view(), dtype=np.float32)
+        return out
+
+    def load_state_arrays(self, state):
+        self.reset()
+        st = self._store
+        st.codes = state['codes']
+        st.mask = state['slot_mask']
+        st.row_map = state['row_map']
+        st.block_cell = state['block_cell']
+        st._dirty = True
+        # rebuild tails + row addresses
+        st._cell_tail = {}
+        st._row_addr = {}
+        for b in range(st.n_blocks):
+            fill = int((st.row_map[b] >= 0).sum())
+            cell = int(st.block_cell[b])
+            prev = st._cell_tail.get(cell, (None, st.bs))
+            # last block of each cell (highest index) becomes the tail
+            st._cell_tail[cell] = (b, fill)
+            for s in range(st.bs):
+                row = int(st.row_map[b, s])
+                if row >= 0 and st.mask[b, s]:
+                    st._row_addr[row] = (b, s)
+        self._size = int(state['size'])
+        if self._vectors is not None and 'vectors' in state:
+            v = state['vectors']
+            if v.size:
+                self._vectors.write(np.arange(v.shape[0]), v.astype(self._vectors.dtype))

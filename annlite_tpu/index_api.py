@@ -29,6 +29,7 @@ from .enums import Metric, parse_metric
 from .helper import setup_logging
 from .index.flat import FlatIndex
 from .index.graph import GraphIndex
+from .index.ivf_pq import IVFPQIndex
 from .index.pq_scan import PQScanIndex
 from .math import cdist, top_k
 
@@ -71,7 +72,7 @@ class AnnLite:
         self.read_only = read_only
         self.exact_topk = exact_topk
         self.rerank = rerank
-        if index_type not in ('auto', 'flat', 'pq_scan', 'graph'):
+        if index_type not in ('auto', 'flat', 'pq_scan', 'graph', 'ivf_pq'):
             raise ValueError(f'unknown index_type {index_type!r}')
         self.index_type = index_type
         self.max_degree = max_degree
@@ -142,7 +143,12 @@ class AnnLite:
     def _build_container(self):
         kind = self.index_type
         if kind == 'auto':
-            kind = 'pq_scan' if self._pq_codec is not None else 'flat'
+            if self._pq_codec is not None and self.n_cells > 1:
+                kind = 'ivf_pq'
+            elif self._pq_codec is not None:
+                kind = 'pq_scan'
+            else:
+                kind = 'flat'
         if kind == 'graph':
             index = GraphIndex(
                 self.index_dim,
@@ -152,6 +158,15 @@ class AnnLite:
                 ef_search=self.ef_search,
                 pq_codec=self._pq_codec,
                 rerank=self.rerank,
+            )
+        elif kind == 'ivf_pq':
+            if self._pq_codec is None:
+                raise ValueError('index_type=ivf_pq requires n_subvectors')
+            index = IVFPQIndex(
+                self.index_dim,
+                self._pq_codec,
+                rerank=self.rerank,
+                exact_topk=self.exact_topk,
             )
         elif kind == 'pq_scan':
             if self._pq_codec is None:
@@ -295,11 +310,24 @@ class AnnLite:
             raise RuntimeError('the indexer is not trained, cannot search')
         x = docs_to_embeddings(docs)
         match_docs, _, _ = self._container.search_cells(
-            x, filter=filter, limit=limit, include_metadata=include_metadata
+            x,
+            cells=self._cell_selection(x),
+            filter=filter,
+            limit=limit,
+            include_metadata=include_metadata,
         )
         for doc, matches in zip(docs, match_docs):
             doc.matches = matches
         return docs
+
+    def _cell_selection(self, query_np: np.ndarray) -> Optional[np.ndarray]:
+        """Per-query top-n_probe cells via the VQ codebook
+        (reference `index.py:458-483`)."""
+        if self._vq_codec is None:
+            return None
+        dists = cdist(query_np, self._vq_codec.codebook, metric=self.metric)
+        _, cells = top_k(dists, k=min(self.n_probe, self.n_cells))
+        return np.asarray(cells)
 
     def search_by_vectors(
         self,
@@ -308,8 +336,10 @@ class AnnLite:
         limit: int = 10,
         include_metadata: bool = False,
     ):
+        query_np = self._sanity_check(query_np)
         match_docs, _, _ = self._container.search_cells(
-            self._sanity_check(query_np),
+            query_np,
+            cells=self._cell_selection(query_np),
             filter=filter,
             limit=limit,
             include_metadata=include_metadata,
@@ -322,8 +352,12 @@ class AnnLite:
         """Returns (dists, doc_ids) ragged lists."""
         if not self.is_trained:
             raise RuntimeError('the indexer is not trained, cannot search')
+        query_np = self._sanity_check(query_np)
         return self._container.search_numpy(
-            self._sanity_check(query_np), filter=filter, limit=limit
+            query_np,
+            filter=filter,
+            limit=limit,
+            cells=self._cell_selection(query_np),
         )
 
     def filter(

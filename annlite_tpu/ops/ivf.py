@@ -1,0 +1,209 @@
+"""Block-gathered IVF scan — true cell pruning on TPU.
+
+The dense masked scan (`ops/adc.py`) scores every row regardless of probed
+cells; that is optimal at n_cells=1 but wasteful for large multi-cell
+corpora.  Here codes are stored in fixed-size *blocks*, each owned by one
+IVF cell (`BlockedCodes`), and the kernel scans ONLY the blocks of probed
+cells: the selected block ids arrive as a scalar-prefetch operand, and each
+grid step DMAs exactly one selected block from HBM via its index map — the
+TPU equivalent of the reference's per-cell index scan
+(`annlite/container.py:88-144` `ivf_search`).
+
+Scoring inside the block is the same one-hot-matmul ADC as `ops/adc.py`.
+Returned candidates are (block, slot) pairs mapped back to global rows via
+the store's row map.
+"""
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .adc import BIG
+from .topk import topk as _topk
+
+BLOCK_SIZE = 1024  # rows per block (lanes-aligned)
+
+
+def _ivf_kernel(ids_ref, dtable_ref, codes_ref, mask_ref, out_ref, *, n_sub, k):
+    # codes_ref block: [1, M, BS]; dtable [Q, M, K]; mask [1, BS]
+    codes = codes_ref[0].astype(jnp.int32)  # [M, BS]
+    bs = codes.shape[1]
+    bq = dtable_ref.shape[0]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, bs), 0)
+    acc = jnp.zeros((bq, bs), dtype=jnp.float32)
+    for m in range(n_sub):
+        onehot = (codes[m][None, :] == iota_k).astype(dtable_ref.dtype)
+        acc = acc + jnp.dot(
+            dtable_ref[:, m, :], onehot, preferred_element_type=jnp.float32
+        )
+    j = pl.program_id(0)
+    real = ids_ref[j] >= 0  # padded slots scan block 0 but score BIG
+    mask = mask_ref[:].astype(jnp.int32) > 0
+    keep = jnp.logical_and(mask, jnp.full_like(mask, real))
+    out_ref[:, 0, :] = jnp.where(keep, acc, jnp.full_like(acc, BIG))
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _ivf_scan_pallas(block_ids, dtable, codes_blocks, mask_blocks, n_sub, k):
+    n_sel = block_ids.shape[0]
+    q = dtable.shape[0]
+    bs = codes_blocks.shape[2]
+    safe_ids = jnp.maximum(block_ids, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_sel,),
+        in_specs=[
+            pl.BlockSpec((q, n_sub, k), lambda j, ids: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_sub, bs), lambda j, ids: (ids[j], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs), lambda j, ids: (ids[j], 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q, 1, bs), lambda j, ids: (0, j, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        partial(_ivf_kernel, n_sub=n_sub, k=k),
+        out_shape=jax.ShapeDtypeStruct((q, n_sel, bs), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * n_sel * bs * n_sub * k,
+            bytes_accessed=int(n_sel * n_sub * bs + dtable.size * dtable.dtype.itemsize),
+            transcendentals=0,
+        ),
+    )(safe_ids, dtable, codes_blocks, mask_blocks)
+
+
+@jax.jit
+def _ivf_scan_ref(block_ids, dtable, codes_blocks, mask_blocks):
+    """jnp reference / CPU fallback."""
+    safe = jnp.maximum(block_ids, 0)
+    codes = codes_blocks[safe].astype(jnp.int32)  # [S, M, BS]
+    mask = mask_blocks[safe] > 0  # [S, BS]
+
+    def per_query(dt):  # [M, K]
+        def per_block(cb):  # [M, BS]
+            return jnp.sum(jnp.take_along_axis(dt, cb, axis=1), axis=0)
+
+        return jax.vmap(per_block)(codes)  # [S, BS]
+
+    scores = jax.vmap(per_query)(dtable)  # [Q, S, BS]
+    keep = mask[None, :, :] & (block_ids >= 0)[None, :, None]
+    return jnp.where(keep, scores, BIG)
+
+
+def ivf_scan_topk(
+    block_ids: jax.Array,
+    dtable: jax.Array,
+    codes_blocks: jax.Array,
+    mask_blocks: jax.Array,
+    row_map: jax.Array,
+    k: int,
+    *,
+    use_pallas: Optional[bool] = None,
+    exact: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Scan the selected blocks and return ``(dists[Q,k], global_rows[Q,k])``.
+
+    block_ids [S] int32 (pad -1); codes_blocks [n_blocks, M, BS] uint8;
+    mask_blocks [n_blocks, BS] int8; row_map [n_blocks, BS] int32 global rows.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
+    n_sub, kk = dtable.shape[1], dtable.shape[2]
+    if use_pallas:
+        scores = _ivf_scan_pallas(
+            block_ids, dtable.astype(jnp.bfloat16), codes_blocks,
+            mask_blocks, n_sub, kk
+        )
+    else:
+        scores = _ivf_scan_ref(block_ids, dtable, codes_blocks, mask_blocks)
+    q, s, bs = scores.shape
+    flat = scores.reshape(q, s * bs)
+    d, pos = _topk(flat, min(k, s * bs), exact=exact)
+    sel_block = jnp.maximum(block_ids, 0)[pos // bs]  # [Q, k]
+    rows = row_map[sel_block, pos % bs]
+    return d, rows
+
+
+class BlockedCodes:
+    """Host-side blocked code store: rows grouped by cell into fixed blocks.
+
+    Append-friendly: each cell fills its last partial block before opening a
+    new one.  Mirrors the role of per-cell storage in the reference
+    (`annlite/container.py:48-59`) with device-friendly geometry.
+    """
+
+    def __init__(self, n_subvectors: int, block_size: int = BLOCK_SIZE):
+        self.m = n_subvectors
+        self.bs = block_size
+        self.codes = np.zeros((0, self.m, self.bs), dtype=np.uint8)
+        self.mask = np.zeros((0, self.bs), dtype=np.int8)
+        self.row_map = np.full((0, self.bs), -1, dtype=np.int32)
+        self.block_cell = np.zeros(0, dtype=np.int32)
+        self._cell_tail = {}  # cell -> (block_idx, fill)
+        self._row_addr = {}  # global row -> (block, slot)
+        self._dirty = True
+        self._dev = None
+
+    @property
+    def n_blocks(self) -> int:
+        return self.codes.shape[0]
+
+    def _new_block(self, cell: int) -> int:
+        self.codes = np.concatenate(
+            [self.codes, np.zeros((1, self.m, self.bs), np.uint8)]
+        )
+        self.mask = np.concatenate([self.mask, np.zeros((1, self.bs), np.int8)])
+        self.row_map = np.concatenate(
+            [self.row_map, np.full((1, self.bs), -1, np.int32)]
+        )
+        self.block_cell = np.append(self.block_cell, np.int32(cell))
+        b = self.n_blocks - 1
+        self._cell_tail[cell] = (b, 0)
+        return b
+
+    def append(self, codes: np.ndarray, cells: np.ndarray, rows: np.ndarray):
+        """codes [n, M]; cells [n]; rows [n] global row ids."""
+        for code, cell, row in zip(codes, np.asarray(cells), np.asarray(rows)):
+            cell = int(cell)
+            b, fill = self._cell_tail.get(cell, (None, self.bs))
+            if fill >= self.bs:
+                b = self._new_block(cell)
+                fill = 0
+            self.codes[b, :, fill] = code
+            self.mask[b, fill] = 1
+            self.row_map[b, fill] = row
+            self._row_addr[int(row)] = (b, fill)
+            self._cell_tail[cell] = (b, fill + 1)
+        self._dirty = True
+
+    def delete_rows(self, rows):
+        for row in np.asarray(rows).tolist():
+            addr = self._row_addr.pop(int(row), None)
+            if addr is not None:
+                self.mask[addr] = 0
+        self._dirty = True
+
+    def set_filter_mask(self, row_mask: np.ndarray) -> np.ndarray:
+        """Combine alive-slots with a per-global-row predicate ->
+        [n_blocks, BS] int8 (not cached on device: per-query-batch)."""
+        out = self.mask.copy()
+        valid = self.row_map >= 0
+        out[valid] &= row_mask[self.row_map[valid]].astype(np.int8)
+        return out
+
+    def select_blocks(self, probed_cells) -> np.ndarray:
+        sel = np.nonzero(np.isin(self.block_cell, np.asarray(probed_cells)))[0]
+        return sel.astype(np.int32)
+
+    def device_arrays(self):
+        if self._dirty or self._dev is None:
+            self._dev = (
+                jnp.asarray(self.codes),
+                jnp.asarray(self.mask),
+                jnp.asarray(self.row_map),
+            )
+            self._dirty = False
+        return self._dev

@@ -1,0 +1,152 @@
+"""Block-gathered IVF scan tests (CPU reference path + store semantics)."""
+import numpy as np
+import pytest
+
+from annlite_tpu.ops.adc import BIG, adc_scores_ref
+from annlite_tpu.ops.ivf import BlockedCodes, ivf_scan_topk
+
+
+@pytest.fixture
+def store(rng):
+    m, bs = 8, 128
+    bc = BlockedCodes(n_subvectors=m, block_size=bs)
+    n = 1000
+    codes = rng.integers(0, 16, (n, m)).astype(np.uint8)
+    cells = rng.integers(0, 4, n)
+    rows = np.arange(n)
+    bc.append(codes, cells, rows)
+    return bc, codes, cells
+
+
+def test_blocked_layout(store):
+    bc, codes, cells = store
+    # every alive slot maps back to its original code
+    for b in range(bc.n_blocks):
+        for s in range(bc.bs):
+            row = bc.row_map[b, s]
+            if row >= 0:
+                np.testing.assert_array_equal(bc.codes[b, :, s], codes[row])
+                assert cells[row] == bc.block_cell[b]
+    # alive count matches
+    assert int(bc.mask.sum()) == 1000
+
+
+def test_select_blocks(store):
+    bc, codes, cells = store
+    sel = bc.select_blocks([1, 3])
+    assert set(bc.block_cell[sel]) == {1, 3}
+    # all rows of cells 1,3 live in selected blocks
+    rows_in_sel = bc.row_map[sel][bc.mask[sel] > 0]
+    want = set(np.nonzero(np.isin(cells, [1, 3]))[0].tolist())
+    assert set(rows_in_sel.tolist()) == want
+
+
+def test_ivf_scan_matches_dense(store, rng):
+    bc, codes, cells = store
+    q, m, k = 3, 8, 16
+    dtable = rng.uniform(0, 10, (q, m, k)).astype(np.float32)
+    probed = [0, 2]
+    sel = bc.select_blocks(probed)
+    cb, mb, rm = bc.device_arrays()
+    d, rows = ivf_scan_topk(
+        np.asarray(sel), dtable, cb, mb, rm, 10, use_pallas=False, exact=True
+    )
+    d, rows = np.asarray(d), np.asarray(rows)
+    # dense reference restricted to probed cells
+    dense = np.array(adc_scores_ref(dtable, codes.T))
+    dense[:, ~np.isin(cells, probed)] = BIG
+    want_d = np.sort(dense, axis=1)[:, :10]
+    np.testing.assert_allclose(d, want_d, atol=1e-4)
+    for qi in range(q):
+        np.testing.assert_allclose(np.sort(dense[qi][rows[qi]]), want_d[qi], atol=1e-4)
+    assert np.isin(cells[rows], probed).all()
+
+
+def test_ivf_scan_with_filter_and_delete(store, rng):
+    bc, codes, cells = store
+    q, m, k = 2, 8, 16
+    dtable = rng.uniform(0, 10, (q, m, k)).astype(np.float32)
+    bc.delete_rows([0, 1, 2])
+    flt = rng.random(1000) < 0.5
+    mask_blocks = bc.set_filter_mask(flt)
+    sel = bc.select_blocks([0, 1, 2, 3])
+    cb, _, rm = bc.device_arrays()
+    d, rows = ivf_scan_topk(
+        np.asarray(sel), dtable, cb, np.asarray(mask_blocks), rm, 20,
+        use_pallas=False, exact=True,
+    )
+    rows = np.asarray(rows)
+    valid = np.asarray(d) < BIG / 2
+    assert valid.any()
+    assert flt[rows[valid]].all()
+    assert not np.isin(rows[valid], [0, 1, 2]).any()
+
+
+def test_padded_block_ids(store, rng):
+    bc, codes, cells = store
+    dtable = rng.uniform(0, 10, (1, 8, 16)).astype(np.float32)
+    sel = np.concatenate([bc.select_blocks([1]), np.full(3, -1, np.int32)])
+    cb, mb, rm = bc.device_arrays()
+    d, rows = ivf_scan_topk(sel, dtable, cb, mb, rm, 5, use_pallas=False, exact=True)
+    valid = np.asarray(d)[0] < BIG / 2
+    assert np.isin(cells[np.asarray(rows)[0][valid]], [1]).all()
+
+
+def test_ivf_pq_index_via_facade(tmp_index_path, rng):
+    """n_cells>1 + PQ auto-selects IVFPQIndex; results restricted to probed
+    cells remain correct and filtered."""
+    import shutil
+    from annlite_tpu import AnnLite
+    from annlite_tpu.doc import Doc
+    from annlite_tpu.index.ivf_pq import IVFPQIndex
+
+    D, N = 32, 2000
+    centers = rng.standard_normal((8, D)).astype(np.float32) * 4
+    x = (centers[rng.integers(0, 8, N)] + rng.standard_normal((N, D))).astype(np.float32)
+    ann = AnnLite(
+        n_dim=D, metric='euclidean', n_cells=8, n_probe=8, n_subvectors=8,
+        columns=[('i', int)], data_path=tmp_index_path, exact_topk=True,
+        rerank=50,
+    )
+    ann.train(x)
+    assert isinstance(ann._container.index, IVFPQIndex)
+    ann.index([Doc(id=f'doc{i}', embedding=x[i], tags={'i': i}) for i in range(N)])
+
+    # full probe == exact-over-PQ with rerank: self-match expected
+    _, ids = ann.search_numpy(x[:10], limit=10)
+    assert all(ids[i][0] == f'doc{i}' for i in range(10))
+
+    # low n_probe still finds the self-match (it lives in the top cell)
+    ann.n_probe = 1
+    _, ids = ann.search_numpy(x[:10], limit=10)
+    hits = sum(ids[i][0] == f'doc{i}' for i in range(10))
+    assert hits >= 8, f'only {hits}/10 self-matches at n_probe=1'
+
+    # filtered search consistency
+    ann.n_probe = 8
+    res = ann.search_by_vectors(x[:3], filter={'i': {'$lt': 100}}, limit=5,
+                                include_metadata=True)
+    for matches in res:
+        assert len(matches) > 0
+        assert all(m.tags['i'] < 100 for m in matches)
+
+    # delete + update flow through the blocked store
+    ann.delete(['doc0'])
+    _, ids = ann.search_numpy(x[:1], limit=5)
+    assert 'doc0' not in ids[0]
+    ann.update([Doc(id='doc1', embedding=-x[5], tags={'i': 1})])
+    _, ids = ann.search_numpy(-x[5:6], limit=3)
+    assert ids[0][0] == 'doc1'
+
+    # snapshot round-trip
+    ann.dump()
+    ann.close()
+    b = AnnLite(
+        n_dim=D, metric='euclidean', n_cells=8, n_probe=8, n_subvectors=8,
+        columns=[('i', int)], data_path=tmp_index_path, exact_topk=True,
+        rerank=50,
+    )
+    assert b.index_size == N - 1
+    _, ids = b.search_numpy(-x[5:6], limit=3)
+    assert ids[0][0] == 'doc1'
+    b.close()
