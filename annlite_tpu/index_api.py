@@ -519,6 +519,28 @@ class AnnLite:
             cells = self._assign_cells(x)
             self._container.insert(x, cells, batch, only_index=True)
 
+    def compact(self):
+        """Reclaim dead rows (deletes/updates leave bitmap holes): rebuild
+        the index + metadata from the durable doc store, dropping every dead
+        row.  This is the standard delete-compaction story (SURVEY.md §7
+        hard-parts: 'CRUD on immutable device arrays'), reusing the
+        reference's restore-rebuild path (`index.py:779-794`)."""
+        self._check_writable()
+        c = self._container
+        # reset index + metadata, keep the doc store (source of truth)
+        c.index.reset()
+        c.cell_table.execute(f'DELETE FROM {c.cell_table.name}')
+        c.cell_table.execute(
+            f"DELETE FROM sqlite_sequence WHERE name='{c.cell_table.name}'"
+        )
+        c.cell_table._invalidate()
+        c.meta_table.execute(f'DELETE FROM {c.meta_table.name}')
+        c._alive = np.zeros(0, dtype=bool)
+        c._cells = np.zeros(0, dtype=np.int32)
+        for name in c._col_names:
+            c._columns_np[name] = c._empty_col(name)
+        self._rebuild_index_from_local()
+
     def _stored_docs_exist(self) -> bool:
         return (self.data_path / 'docs' / 'docs.db').exists()
 

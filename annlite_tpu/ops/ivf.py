@@ -28,8 +28,10 @@ from .topk import topk as _topk
 BLOCK_SIZE = 1024  # rows per block (lanes-aligned)
 
 
-def _ivf_kernel(ids_ref, dtable_ref, codes_ref, mask_ref, out_ref, *, n_sub, k):
-    # codes_ref block: [1, M, BS]; dtable [Q, M, K]; mask [1, BS]
+def _ivf_kernel(ids_ref, dtable_ref, codes_ref, out_ref, *, n_sub, k):
+    # codes_ref block: [1, M, BS]; dtable [Q, M, K].  The slot/filter mask is
+    # applied OUTSIDE the kernel (XLA fuses the elementwise where into the
+    # top-k consumer; keeping it out avoids (1, BS) block-shape restrictions)
     codes = codes_ref[0].astype(jnp.int32)  # [M, BS]
     bs = codes.shape[1]
     bq = dtable_ref.shape[0]
@@ -40,11 +42,7 @@ def _ivf_kernel(ids_ref, dtable_ref, codes_ref, mask_ref, out_ref, *, n_sub, k):
         acc = acc + jnp.dot(
             dtable_ref[:, m, :], onehot, preferred_element_type=jnp.float32
         )
-    j = pl.program_id(0)
-    real = ids_ref[j] >= 0  # padded slots scan block 0 but score BIG
-    mask = mask_ref[:].astype(jnp.int32) > 0
-    keep = jnp.logical_and(mask, jnp.full_like(mask, real))
-    out_ref[:, 0, :] = jnp.where(keep, acc, jnp.full_like(acc, BIG))
+    out_ref[0] = acc
 
 
 @partial(jax.jit, static_argnums=(4, 5))
@@ -59,20 +57,22 @@ def _ivf_scan_pallas(block_ids, dtable, codes_blocks, mask_blocks, n_sub, k):
         in_specs=[
             pl.BlockSpec((q, n_sub, k), lambda j, ids: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_sub, bs), lambda j, ids: (ids[j], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bs), lambda j, ids: (ids[j], 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((q, 1, bs), lambda j, ids: (0, j, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, q, bs), lambda j, ids: (j, 0, 0), memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    scores = pl.pallas_call(
         partial(_ivf_kernel, n_sub=n_sub, k=k),
-        out_shape=jax.ShapeDtypeStruct((q, n_sel, bs), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_sel, q, bs), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * q * n_sel * bs * n_sub * k,
             bytes_accessed=int(n_sel * n_sub * bs + dtable.size * dtable.dtype.itemsize),
             transcendentals=0,
         ),
-    )(safe_ids, dtable, codes_blocks, mask_blocks)
+    )(safe_ids, dtable, codes_blocks)
+    scores = scores.transpose(1, 0, 2)  # [Q, S, BS]
+    keep = (mask_blocks[safe_ids] > 0) & (block_ids >= 0)[:, None]  # [S, BS]
+    return jnp.where(keep[None, :, :], scores, BIG)
 
 
 @jax.jit
@@ -113,10 +113,14 @@ def ivf_scan_topk(
         use_pallas = jax.default_backend() == 'tpu'
     n_sub, kk = dtable.shape[1], dtable.shape[2]
     if use_pallas:
+        q0 = dtable.shape[0]
+        qp = -(-q0 // 8) * 8  # sublane-align the query axis
+        dt = dtable.astype(jnp.bfloat16)
+        if qp != q0:
+            dt = jnp.pad(dt, ((0, qp - q0), (0, 0), (0, 0)))
         scores = _ivf_scan_pallas(
-            block_ids, dtable.astype(jnp.bfloat16), codes_blocks,
-            mask_blocks, n_sub, kk
-        )
+            block_ids, dt, codes_blocks, mask_blocks, n_sub, kk
+        )[:q0]
     else:
         scores = _ivf_scan_ref(block_ids, dtable, codes_blocks, mask_blocks)
     q, s, bs = scores.shape

@@ -202,3 +202,26 @@ def test_clear(ann):
     ann.clear()
     assert ann.total_docs == 0
     assert ann.index_size == 0
+
+
+def test_compact_reclaims_dead_rows(tmp_index_path, docs):
+    a = AnnLite(n_dim=D, columns=[('price', float), ('brand', str), ('idx', int)],
+                data_path=tmp_index_path)
+    a.index(docs)
+    for i in range(0, 100):
+        a.delete([f'doc{i}'])
+    # dead rows linger in the buffers until compaction
+    assert a._container.cell_table.n_rows == N
+    assert a.index_size == N - 100
+    q = docs[150].embedding[None, :]
+    _, ids_before = a.search_numpy(q, limit=5)
+    a.compact()
+    assert a._container.cell_table.n_rows == N - 100  # holes reclaimed
+    assert a.index_size == N - 100
+    assert a.total_docs == N - 100
+    _, ids_after = a.search_numpy(q, limit=5)
+    assert ids_before == ids_after
+    # still writable after compaction
+    a.index([Doc(id='fresh', embedding=docs[0].embedding, tags={'idx': -1})])
+    assert a.index_size == N - 99
+    a.close()
