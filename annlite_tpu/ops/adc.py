@@ -108,7 +108,7 @@ def adc_scores(
     use_pallas: Optional[bool] = None,
     compute_dtype=jnp.bfloat16,
     block_q: int = 128,
-    block_n: int = 1024,
+    block_n: int = 4096,
 ) -> jax.Array:
     """Masked ADC scores ``[Q, N]`` from ``dtable[Q, M, K]`` and transposed
     codes ``[M, N]``.

@@ -156,3 +156,33 @@ def test_executor_requires_n_dim():
 def test_shards_forbid_data_path(tmp_path):
     with pytest.raises(ValueError):
         AnnLiteIndexer(n_dim=D, shards=2, data_path=str(tmp_path / 'x'))
+
+
+def test_grpc_roundtrip(tmp_path, rng):
+    """Unary gRPC transport (msgpack payloads) over a real channel."""
+    from annlite_tpu.serving.grpc_server import GrpcClient, GrpcServer
+
+    ex = AnnLiteIndexer(n_dim=D, data_path=str(tmp_path / 'grpc'), columns=[('i', int)])
+    server = GrpcServer(ex, port=50911).start()
+    try:
+        client = GrpcClient('127.0.0.1:50911')
+        docs = _docs(rng, 25)
+        client.index(docs)
+        ex.flush()
+        time.sleep(0.3)
+        st = client.status()
+        assert st['total_docs'] == 25
+        r = client.search([Doc(id='q', embedding=docs[6].embedding)],
+                          parameters={'limit': 3})
+        assert r['results'][0]['matches'][0]['id'] == 'doc6'
+        client.delete(['doc6'])
+        r = client.search([Doc(id='q', embedding=docs[6].embedding)],
+                          parameters={'limit': 3})
+        assert all(m['id'] != 'doc6' for m in r['results'][0]['matches'])
+        # filter endpoint carries embeddings back
+        r = client.call('Filter', {'parameters': {'filter': {'i': {'$lt': 2}}, 'limit': 10}})
+        assert {d['id'] for d in r['docs']} == {'doc0', 'doc1'}
+        assert 'emb' in r['docs'][0]
+        client.close()
+    finally:
+        server.stop()
