@@ -22,7 +22,7 @@ from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
-from .codecs import PQCodec, ProjectorCodec, VQCodec
+from .codecs import OPQCodec, PQCodec, ProjectorCodec, VQCodec
 from .container import CellContainer
 from .doc import Doc, docs_to_embeddings
 from .enums import Metric, parse_metric
@@ -56,6 +56,7 @@ class AnnLite:
         exact_topk: bool = False,
         rerank: int = 0,
         index_type: str = 'auto',
+        use_opq: bool = False,
         max_degree: int = 32,
         ef_construction: int = 64,
         ef_search: int = 64,
@@ -96,8 +97,9 @@ class AnnLite:
         self._vq_codec = (
             VQCodec(n_cells, metric=self.metric) if n_cells > 1 else None
         )
+        pq_cls = OPQCodec if use_opq else PQCodec
         self._pq_codec = (
-            PQCodec(
+            pq_cls(
                 self.index_dim,
                 n_subvectors=n_subvectors,
                 n_clusters=n_clusters,
@@ -106,6 +108,7 @@ class AnnLite:
             if n_subvectors
             else None
         )
+        self.use_opq = use_opq
         self._load_codecs_if_exist()
 
         self._container: Optional[CellContainer] = None
@@ -435,7 +438,7 @@ class AnnLite:
             if self._vq_codec and (p / 'vq.npz').exists():
                 self._vq_codec = VQCodec.load(p / 'vq.npz')
             if self._pq_codec and (p / 'pq.npz').exists():
-                self._pq_codec = PQCodec.load(p / 'pq.npz')
+                self._pq_codec = type(self._pq_codec).load(p / 'pq.npz')
         except Exception as e:  # corrupted model dir: retrain
             self.logger.warning(f'failed to load codecs from {p}: {e}')
 

@@ -193,3 +193,55 @@ def test_projector_dump_load(data, tmp_path):
     p.dump(path)
     p2 = ProjectorCodec.load(path)
     np.testing.assert_allclose(p.encode(data), p2.encode(data), atol=1e-6)
+
+
+# ---------- OPQ ----------
+
+def test_opq_beats_pq_reconstruction(rng):
+    """OPQ's learned rotation must cut quantization error vs plain PQ on
+    correlated data (the whole point of the rotation)."""
+    from annlite_tpu.codecs import OPQCodec
+
+    # anisotropic correlated data: random linear map of a low-ish rank core
+    core = rng.standard_normal((600, 32)).astype(np.float32)
+    mix = rng.standard_normal((32, 32)).astype(np.float32) * np.linspace(2, 0.1, 32)[None, :]
+    x = (core @ mix).astype(np.float32)
+
+    pq = PQCodec(dim=32, n_subvectors=8, n_clusters=16, metric='euclidean', n_init=1).fit(x, iter=15)
+    opq = OPQCodec(dim=32, n_subvectors=8, n_clusters=16, metric='euclidean', n_init=1, opq_iters=4).fit(x, iter=15)
+
+    err_pq = np.linalg.norm(pq.decode(pq.encode(x)) - x)
+    err_opq = np.linalg.norm(opq.decode(opq.encode(x)) - x)
+    assert err_opq < err_pq, f'OPQ {err_opq:.1f} !< PQ {err_pq:.1f}'
+    # rotation is orthogonal
+    r = opq.rotation
+    np.testing.assert_allclose(r @ r.T, np.eye(32), atol=1e-4)
+
+
+def test_opq_dist_mat_consistency(rng):
+    """ADC distances through OPQ tables equal decoded-vector distances in
+    the ORIGINAL space (R orthogonal => L2-preserving)."""
+    from annlite_tpu.codecs import OPQCodec
+
+    x = rng.standard_normal((400, 16)).astype(np.float32)
+    opq = OPQCodec(dim=16, n_subvectors=4, n_clusters=16, metric='euclidean', n_init=1, opq_iters=3).fit(x, iter=10)
+    codes = opq.encode(x[:50])
+    q = x[:3]
+    dmat = opq.get_dist_mat(q)
+    ad = np.zeros((3, 50), np.float32)
+    for qi in range(3):
+        ad[qi] = dmat[qi][np.arange(4)[None, :], codes.astype(int)].sum(1)
+    recon = opq.decode(codes)  # original space
+    want = ((q[:, None, :] - recon[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(ad, want, rtol=1e-2, atol=1e-2)
+
+
+def test_opq_dump_load(rng, tmp_path):
+    from annlite_tpu.codecs import OPQCodec
+
+    x = rng.standard_normal((300, 16)).astype(np.float32)
+    opq = OPQCodec(dim=16, n_subvectors=4, n_clusters=8, n_init=1, opq_iters=2).fit(x, iter=10)
+    opq.dump(tmp_path / 'opq.npz')
+    o2 = OPQCodec.load(tmp_path / 'opq.npz')
+    np.testing.assert_array_equal(opq.rotation, o2.rotation)
+    np.testing.assert_array_equal(opq.encode(x), o2.encode(x))

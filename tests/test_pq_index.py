@@ -157,3 +157,28 @@ def test_rerank_improves_recall(tmp_index_path, data):
     r_rerank = recall_for(rerank=100)
     assert r_rerank >= r_plain
     assert r_rerank > 0.95, f'reranked recall {r_rerank}'
+
+
+def test_opq_via_facade(tmp_index_path, rng):
+    """use_opq=True trains an OPQ rotation; search + persistence round-trip."""
+    from annlite_tpu.codecs import OPQCodec
+
+    core = rng.standard_normal((800, D)).astype(np.float32)
+    mix = rng.standard_normal((D, D)).astype(np.float32) * np.linspace(2, 0.1, D)[None, :]
+    x = (core @ mix).astype(np.float32)
+    ann = AnnLite(n_dim=D, metric='euclidean', n_subvectors=8, use_opq=True,
+                  data_path=tmp_index_path, exact_topk=True, rerank=50)
+    ann.train(x)
+    assert isinstance(ann._pq_codec, OPQCodec)
+    ann.index(_docs(x))
+    _, ids = ann.search_numpy(x[:10], limit=10)
+    assert all(ids[i][0] == f'doc{i}' for i in range(10))
+    ann.dump()
+    ann.close()
+    b = AnnLite(n_dim=D, metric='euclidean', n_subvectors=8, use_opq=True,
+                data_path=tmp_index_path, exact_topk=True, rerank=50)
+    assert isinstance(b._pq_codec, OPQCodec) and b.is_trained
+    np.testing.assert_array_equal(b._pq_codec.rotation, ann._pq_codec.rotation)
+    _, ids2 = b.search_numpy(x[:10], limit=10)
+    assert ids == ids2
+    b.close()
