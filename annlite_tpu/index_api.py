@@ -73,7 +73,7 @@ class AnnLite:
         self.read_only = read_only
         self.exact_topk = exact_topk
         self.rerank = rerank
-        if index_type not in ('auto', 'flat', 'pq_scan', 'graph', 'ivf_pq'):
+        if index_type not in ('auto', 'flat', 'pq_scan', 'graph', 'ivf_pq', 'sharded_pq'):
             raise ValueError(f'unknown index_type {index_type!r}')
         self.index_type = index_type
         self.max_degree = max_degree
@@ -171,6 +171,12 @@ class AnnLite:
                 rerank=self.rerank,
                 exact_topk=self.exact_topk,
             )
+        elif kind == 'sharded_pq':
+            if self._pq_codec is None:
+                raise ValueError('index_type=sharded_pq requires n_subvectors')
+            from .parallel.sharded_index import ShardedPQIndex
+
+            index = ShardedPQIndex(self.index_dim, self._pq_codec)
         elif kind == 'pq_scan':
             if self._pq_codec is None:
                 raise ValueError('index_type=pq_scan requires n_subvectors')

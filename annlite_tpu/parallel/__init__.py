@@ -1,3 +1,4 @@
+from .sharded_index import ShardedPQIndex
 from .mesh import (
     SHARD_AXIS,
     make_mesh,
@@ -9,6 +10,7 @@ from .mesh import (
 )
 
 __all__ = [
+    'ShardedPQIndex',
     'SHARD_AXIS',
     'make_mesh',
     'replicate',

@@ -70,3 +70,33 @@ def test_sharded_lloyd_matches_single_device(rng):
             want[j] = x[sel].mean(0)
     np.testing.assert_allclose(np.asarray(new_c), want, atol=1e-4)
     np.testing.assert_allclose(float(inertia), d2.min(1).sum(), rtol=1e-5)
+
+
+@require_devices(2)
+def test_sharded_pq_index_facade(tmp_path, rng):
+    """Full facade over the mesh-sharded index (8 virtual devices)."""
+    from annlite_tpu import AnnLite
+    from annlite_tpu.doc import Doc
+    from annlite_tpu.parallel.sharded_index import ShardedPQIndex
+
+    D, N = 32, 1200
+    centers = rng.standard_normal((8, D)).astype(np.float32) * 4
+    x = (centers[rng.integers(0, 8, N)] + rng.standard_normal((N, D))).astype(np.float32)
+    ann = AnnLite(n_dim=D, metric='euclidean', n_subvectors=8,
+                  index_type='sharded_pq', columns=[('i', int)],
+                  data_path=str(tmp_path / 'sharded'))
+    ann.train(x)
+    assert isinstance(ann._container.index, ShardedPQIndex)
+    assert ann._container.index.n_shards >= 2
+    ann.index([Doc(id=f'd{i}', embedding=x[i], tags={'i': i}) for i in range(N)])
+    _, ids = ann.search_numpy(x[:10], limit=5)
+    hits = sum(ids[i][0] == f'd{i}' for i in range(10))
+    assert hits >= 8, f'{hits}/10 self-matches'
+    # filtered + delete across shards
+    r = ann.search_by_vectors(x[:2], filter={'i': {'$lt': 100}}, limit=5,
+                              include_metadata=True)
+    assert r[0] and all(m.tags['i'] < 100 for m in r[0])
+    ann.delete(['d0'])
+    _, ids = ann.search_numpy(x[:1], limit=5)
+    assert 'd0' not in ids[0]
+    ann.close()
