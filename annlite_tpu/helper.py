@@ -33,6 +33,8 @@ def setup_logging(debug: bool = False, name: str = 'annlite_tpu') -> logging.Log
 
 def str2dtype(dtype_str: str) -> np.dtype:
     """Parse a dtype string (reference `annlite/helper.py:24-47`)."""
+    if not isinstance(dtype_str, str):
+        raise TypeError(f'expected a dtype string, got {type(dtype_str).__name__}')
     try:
         return np.dtype(dtype_str)
     except TypeError:
