@@ -142,7 +142,19 @@ class CellContainer:
         (reference `container.py:323-386`)."""
         data = np.asarray(data, dtype=np.float32)
         cells = np.asarray(cells).reshape(-1)
-        to_insert_idx = []
+        # duplicate ids within one batch: last occurrence wins (equivalent to
+        # sequential updates; two alive rows with one id would violate the
+        # partial unique index)
+        last_by_id = {d.id: i for i, d in enumerate(docs)}
+        if len(last_by_id) != len(docs):
+            keep = sorted(last_by_id.values())
+            docs = [docs[i] for i in keep]
+            data = data[np.asarray(keep)]
+            cells = cells[np.asarray(keep)]
+        # classify first (one lookup per doc), then dead-mark existing rows
+        # in ONE batch and append everything in ONE insert — keeps sqlite
+        # transaction count O(1) per update() call instead of O(n)
+        to_replace, to_insert_idx = [], []
         for i, doc in enumerate(docs):
             old_row = self.cell_table.get_row_by_docid(doc.id)
             if old_row is None:
@@ -151,12 +163,16 @@ class CellContainer:
                 elif raise_errors_on_not_found:
                     raise ValueError(f'doc {doc.id} not found in the index')
                 continue
+            to_replace.append((i, old_row))
+        if to_replace:
             with self._lock:
-                self.cell_table.delete([doc.id])
-                self._alive[old_row] = False
+                old_rows = [r for _, r in to_replace]
+                self.cell_table.delete([docs[i].id for i, _ in to_replace])
+                self._alive[np.asarray(old_rows)] = False
                 if hasattr(self.index, 'delete_rows'):
-                    self.index.delete_rows([old_row])
-            self.insert(data[i : i + 1], cells[i : i + 1], [doc])
+                    self.index.delete_rows(old_rows)
+            sel = np.asarray([i for i, _ in to_replace])
+            self.insert(data[sel], cells[sel], [docs[i] for i, _ in to_replace])
         if to_insert_idx:
             sel = np.asarray(to_insert_idx)
             self.insert(data[sel], cells[sel], [docs[i] for i in to_insert_idx])
