@@ -14,7 +14,7 @@ import shutil
 import time
 import zipfile
 from pathlib import Path
-from typing import Dict, List, Optional, Union
+from typing import Dict, List, Union
 
 DEFAULT_SIZE_LIMIT_MB = 1024
 

@@ -14,15 +14,12 @@ Everything downstream (ADC kernels, indexes) is unchanged — an
 the input, so the rotated-space L2 geometry equals the original (R is
 orthogonal).
 """
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..enums import Metric
 from ..math import l2_normalize
-from .pq import PQCodec, _dist_mat_ip, _dist_mat_l2
+from .pq import PQCodec
 
 
 @jax.jit

@@ -25,7 +25,7 @@ from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
-from .doc import Doc, docs_to_embeddings
+from .doc import Doc
 from .enums import Metric
 from .filter import Filter
 from .index.base import BaseIndex

@@ -26,7 +26,7 @@ import numpy as np
 from ..codecs import PQCodec
 from ..enums import Metric
 from ..math import l2_normalize
-from ..ops.beam import BIG, NO_ID, beam_search_pq, beam_search_vectors
+from ..ops.beam import BIG, beam_search_pq, beam_search_vectors
 from .base import BaseIndex
 from .vamana_lib import VamanaGraph
 

@@ -14,7 +14,7 @@ Returned candidates are (block, slot) pairs mapped back to global rows via
 the store's row map.
 """
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ cross-device traffic is O(P·Q·k), never O(Q·N).
 Also provides a data-parallel Lloyd step (k-means training over sharded
 corpora with `psum`-merged centroid statistics).
 """
-from functools import partial
 from typing import Optional
 
 import jax

@@ -12,8 +12,6 @@ the device placement is rebuilt lazily per dirty epoch.
 """
 from typing import Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..codecs import PQCodec

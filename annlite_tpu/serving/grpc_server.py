@@ -11,7 +11,6 @@ Payload schema (both directions): a msgpack map mirroring the HTTP JSON
 protocol of `serving/http.py` (docs carry ``embedding`` as a raw float32
 buffer + shape for zero-copy).
 """
-import threading
 from concurrent import futures
 from typing import Dict, List, Optional
 

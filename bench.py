@@ -41,6 +41,11 @@ def chain_time(fn, make_args, carry0, reps=(2, 12)):
 
 def main():
     import jax
+
+    # persistent compile cache: first run through the remote-compile tunnel
+    # costs ~1-2 min per program; subsequent runs (e.g. the driver's) are warm
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_annlite_bench')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
     import jax.numpy as jnp
 
     from annlite_tpu.ops.adc import adc_scores
