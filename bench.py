@@ -18,9 +18,14 @@ final carry is fetched; per-call time is the slope between two chain
 lengths, which cancels the tunnel round-trip.
 """
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def log(msg):
+    print(f'[bench] {msg}', file=sys.stderr, flush=True)
 
 
 def chain_time(fn, make_args, carry0, reps=(2, 12)):
@@ -71,7 +76,9 @@ def main():
         d, i = refined_topk(scores, TOPK)
         return d, i, d[0, 0]
 
+    log('flat scan: compiling + timing (first compile ~1-2 min cold)')
     t_flat = chain_time(flat_search, lambda i: (qs[i], x), carry0)
+    log(f'flat batch64: {t_flat*1e3:.2f} ms')
     flat_qps = Q / t_flat
     t_b1 = chain_time(flat_search, lambda i: (qs[i][:1], x), carry0)
 
@@ -99,6 +106,7 @@ def main():
 
     from annlite_tpu.codecs import PQCodec
 
+    log('training PQ64 codebooks')
     pq = PQCodec(dim=D2, n_subvectors=M, n_clusters=K, metric='euclidean', n_init=1)
     pq.fit(xs_np[:20000], iter=15)
     codes = pq.encode(xs_np)
@@ -167,12 +175,14 @@ def main():
     dts = [
         jnp.asarray(pq.get_dist_mat(xs_np[64 * i : 64 * (i + 1)])) for i in range(12)
     ]
+    log('ADC 1M timing')
     t_adc_1m = chain_time(adc_search, lambda i: (dts[i], codes_1m), carry0)
     adc_qps_1m = Q / t_adc_1m
 
     # reranked throughput at 1M (random bf16 vectors for the gather cost)
     vecs_1m = jax.random.normal(kx2, (N, D2), dtype=jnp.bfloat16)
     qv_j = jnp.asarray(qv)
+    log('rerank 1M timing')
     t_rr_1m = chain_time(
         adc_rerank_search, lambda i: (dts[i], codes_1m, qv_j, vecs_1m), carry0
     )
