@@ -1,10 +1,16 @@
-"""Exact flat index — one masked matmul + top-k on the MXU.
+"""Exact flat index — quantized first-pass scan + exact f32 rerank.
 
 Replaces reference `annlite/core/index/flat_index.py` (growable numpy buffer
-+ cdist/top_k `flat_index.py:15-59`).  On TPU the full-precision scan IS the
-fast path for ≲10M rows: scores = Q @ X.T rides the MXU and the predicate
-mask is applied before the top-k reduction, so filtered exact search costs
-the same as unfiltered.
++ cdist/top_k `flat_index.py:15-59`).  On TPU the dense scan is
+HBM-bandwidth-bound, so the fast path scans a compact copy of the corpus
+(int8 by default, ~4x fewer bytes than f32) and reranks the top-R shortlist
+against the exact f32 rows — returned distances are exact and measured
+recall@10 vs the f32 scan is 1.0 at 1M scale (see `ops/scan.py`).  The
+predicate mask is applied before the top-k reduction, so filtered exact
+search costs the same as unfiltered.
+
+``scan_mode``: 'int8' (default), 'bf16', or 'exact' (f32 HIGHEST-precision
+matmul, no quantized copy, for parity debugging).
 """
 from functools import partial
 from typing import Optional
@@ -16,6 +22,7 @@ import numpy as np
 from ..enums import Metric
 from ..math import l2_normalize
 from ..ops.adc import BIG
+from ..ops.scan import quantize_rows_int8, scan_topk
 from .base import BaseIndex
 from .buffer import DeviceBuffer
 
@@ -37,11 +44,25 @@ def _flat_search(q, x, norms_sq, mask, k, metric_val, exact):
 
 class FlatIndex(BaseIndex):
     def __init__(self, dim: int, metric: Metric = Metric.COSINE, chunk: int = 65536,
-                 exact_topk: bool = True, **kwargs):
+                 exact_topk: bool = True, scan_mode: str = 'int8', **kwargs):
         super().__init__(dim=dim, metric=metric, **kwargs)
+        if scan_mode not in ('int8', 'bf16', 'exact'):
+            raise ValueError(f'unknown scan_mode: {scan_mode!r}')
         self.exact_topk = exact_topk
+        self.scan_mode = scan_mode
         self._buf = DeviceBuffer((dim,), np.float32, grow_axis=0, chunk=chunk)
         self._norms = DeviceBuffer((), np.float32, grow_axis=0, chunk=chunk)
+        if scan_mode == 'int8':
+            self._scan_buf = DeviceBuffer((dim,), np.int8, grow_axis=0, chunk=chunk)
+            self._scale = DeviceBuffer((), np.float32, grow_axis=0, chunk=chunk)
+        elif scan_mode == 'bf16':
+            self._scan_buf = DeviceBuffer(
+                (dim,), jnp.bfloat16, grow_axis=0, chunk=chunk
+            )
+            self._scale = None
+        else:
+            self._scan_buf = None
+            self._scale = None
 
     @property
     def size(self) -> int:
@@ -59,29 +80,45 @@ class FlatIndex(BaseIndex):
 
     def add_with_ids(self, x: np.ndarray, ids: np.ndarray):
         x = self._prep(x)
-        self._buf.write(np.asarray(ids), x)
-        self._norms.write(np.asarray(ids), np.sum(x * x, axis=1))
+        ids = np.asarray(ids)
+        self._buf.write(ids, x)
+        self._norms.write(ids, np.sum(x * x, axis=1))
+        if self.scan_mode == 'int8':
+            codes, scale = quantize_rows_int8(x)
+            self._scan_buf.write(ids, codes)
+            self._scale.write(ids, scale)
+        elif self.scan_mode == 'bf16':
+            self._scan_buf.write(ids, x.astype(jnp.bfloat16))
 
     def search(self, query: np.ndarray, limit: int = 10, mask: Optional[np.ndarray] = None):
         q = jnp.asarray(self._prep(query))
         x = self._buf.device_view()
         norms = self._norms.device_view()
         n_pad = x.shape[0]
+        m = np.zeros(n_pad, dtype=np.int8)
         if mask is None:
-            m = np.zeros(n_pad, dtype=np.int8)
             m[: self.size] = 1
-            m = jnp.asarray(m)
         else:
-            m = np.zeros(n_pad, dtype=np.int8)
             m[: self.size] = np.asarray(mask[: self.size], dtype=np.int8)
-            m = jnp.asarray(m)
+        m = jnp.asarray(m)
         k = min(limit, max(self.size, 1))
-        d, idx = _flat_search(q, x, norms, m, k, int(self.metric), self.exact_topk)
+        if self.scan_mode == 'exact':
+            d, idx = _flat_search(q, x, norms, m, k, int(self.metric), self.exact_topk)
+        else:
+            scale = self._scale.device_view() if self._scale is not None else None
+            d, idx = scan_topk(
+                q, self._scan_buf.device_view(), scale, norms, m, k,
+                self.metric, x_f32=x,
+            )
         return np.asarray(d), np.asarray(idx)
 
     def reset(self):
         self._buf.reset()
         self._norms.reset()
+        if self._scan_buf is not None:
+            self._scan_buf.reset()
+        if self._scale is not None:
+            self._scale.reset()
 
     # ----- snapshot state (see AnnLite.dump_index) -----
 
@@ -99,3 +136,9 @@ class FlatIndex(BaseIndex):
             rows = np.arange(v.shape[0])
             self._buf.write(rows, v)
             self._norms.write(rows, state['norms'])
+            if self.scan_mode == 'int8':
+                codes, scale = quantize_rows_int8(v)
+                self._scan_buf.write(rows, codes)
+                self._scale.write(rows, scale)
+            elif self.scan_mode == 'bf16':
+                self._scan_buf.write(rows, v.astype(jnp.bfloat16))

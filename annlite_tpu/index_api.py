@@ -55,6 +55,7 @@ class AnnLite:
         verbose: bool = False,
         exact_topk: bool = False,
         rerank: int = 0,
+        scan_mode: str = 'int8',
         index_type: str = 'auto',
         use_opq: bool = False,
         max_degree: int = 32,
@@ -73,6 +74,7 @@ class AnnLite:
         self.read_only = read_only
         self.exact_topk = exact_topk
         self.rerank = rerank
+        self.scan_mode = scan_mode
         if index_type not in ('auto', 'flat', 'pq_scan', 'graph', 'ivf_pq', 'sharded_pq'):
             raise ValueError(f'unknown index_type {index_type!r}')
         self.index_type = index_type
@@ -187,7 +189,9 @@ class AnnLite:
                 rerank=self.rerank,
             )
         else:
-            index = FlatIndex(self.index_dim, metric=self.metric)
+            index = FlatIndex(
+                self.index_dim, metric=self.metric, scan_mode=self.scan_mode
+            )
         self._container = CellContainer(
             dim=self.n_dim,
             index=index,

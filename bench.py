@@ -28,20 +28,28 @@ def log(msg):
     print(f'[bench] {msg}', file=sys.stderr, flush=True)
 
 
-def chain_time(fn, make_args, carry0, reps=(2, 12)):
-    """fn(*args, carry) -> (..., carry). Returns per-call seconds."""
+def chain_time(fn, make_args, carry0, reps=(2, 12), trials=3):
+    """fn(*args, carry) -> (..., carry). Returns per-call seconds.
+
+    Takes the min over ``trials`` runs *per chain length* before the slope —
+    tunnel/HBM contention only ever adds time, so per-K mins approximate a
+    clean run while the slope still cancels the fixed round-trip cost.
+    """
     args = make_args(0)
     _ = np.asarray(fn(*args, carry0)[-1])  # warm / compile
-    ts = {}
+    tmin = {}
     for K in reps:
-        carry = carry0
-        t0 = time.perf_counter()
-        for i in range(K):
-            out = fn(*make_args(i), carry)
-            carry = out[-1]
-        _ = np.asarray(carry)
-        ts[K] = time.perf_counter() - t0
-    return (ts[reps[1]] - ts[reps[0]]) / (reps[1] - reps[0])
+        best = float('inf')
+        for _t in range(trials):
+            carry = carry0
+            t0 = time.perf_counter()
+            for i in range(K):
+                out = fn(*make_args(i), carry)
+                carry = out[-1]
+            _ = np.asarray(carry)
+            best = min(best, time.perf_counter() - t0)
+        tmin[K] = best
+    return (tmin[reps[1]] - tmin[reps[0]]) / (reps[1] - reps[0])
 
 
 def main():
@@ -53,7 +61,9 @@ def main():
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
     import jax.numpy as jnp
 
+    from annlite_tpu.enums import Metric
     from annlite_tpu.ops.adc import adc_scores
+    from annlite_tpu.ops.scan import quantize_rows_int8_jax, scan_topk
     from annlite_tpu.ops.topk import refined_topk
 
     N, D, Q, TOPK = 1_000_000, 768, 64, 10
@@ -62,39 +72,60 @@ def main():
     carry0 = jnp.float32(0.0)
 
     # ---- config 1: flat cosine scan, 1M x 768-d (reference headline) ----
+    # library fast path: int8 first-pass scan (bandwidth-optimal) + exact
+    # f32 rerank of the top-32 — returned distances are exact f32
     x = jax.random.normal(kx, (N, D), dtype=jnp.float32)
     x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+    x8, xscale = quantize_rows_int8_jax(x)  # on device: no 3GB host pull
+    ones_mask = jnp.ones((N,), dtype=jnp.int8)
     qs = [
         jax.random.normal(jax.random.PRNGKey(100 + i), (Q, D), dtype=jnp.float32)
         for i in range(12)
     ]
 
     @jax.jit
-    def flat_search(q, x, carry):
+    def flat_search(q, x8, xscale, x, carry):
         q = q + carry * 1e-12
+        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        d, i = scan_topk(
+            q, x8, xscale, None, ones_mask, TOPK, Metric.COSINE, x_f32=x
+        )
+        return d, i, d[0, 0]
+
+    log('flat scan (int8 + f32 rerank): compiling + timing')
+    t_flat = chain_time(flat_search, lambda i: (qs[i], x8, xscale, x), carry0)
+    log(f'flat batch64: {t_flat*1e3:.2f} ms')
+    flat_qps = Q / t_flat
+    t_b1 = chain_time(flat_search, lambda i: (qs[i][:1], x8, xscale, x), carry0)
+
+    # f32-DEFAULT single-pass scan for comparison (the previous fast path)
+    @jax.jit
+    def flat_f32(q, x, carry):
+        q = q + carry * 1e-12
+        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
         scores = 1.0 - jnp.dot(q, x.T, preferred_element_type=jnp.float32)
         d, i = refined_topk(scores, TOPK)
         return d, i, d[0, 0]
 
-    log('flat scan: compiling + timing (first compile ~1-2 min cold)')
-    t_flat = chain_time(flat_search, lambda i: (qs[i], x), carry0)
-    log(f'flat batch64: {t_flat*1e3:.2f} ms')
-    flat_qps = Q / t_flat
-    t_b1 = chain_time(flat_search, lambda i: (qs[i][:1], x), carry0)
+    t_f32 = chain_time(flat_f32, lambda i: (qs[i], x), carry0)
 
-    # measured recall of the refined-approx reduction vs exact top_k
+    # measured recall vs exact HIGHEST-precision top_k
     @jax.jit
     def flat_exact(q, x):
-        scores = 1.0 - jnp.dot(q, x.T, preferred_element_type=jnp.float32)
+        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        scores = 1.0 - jnp.dot(
+            q, x.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         neg, i = jax.lax.top_k(-scores, TOPK)
         return i
 
-    approx_idx = np.asarray(flat_search(qs[0], x, carry0)[1])
+    approx_idx = np.asarray(flat_search(qs[0], x8, xscale, x, carry0)[1])
     exact_idx = np.asarray(flat_exact(qs[0], x))
     flat_recall = float(
         np.mean([len(set(approx_idx[i]) & set(exact_idx[i])) / TOPK for i in range(Q)])
     )
-    del x
+    del x, x8, xscale
 
     # ---- config 2: PQ64 ADC at 1M with measured recall@10 ----
     M, K, D2 = 64, 256, 128
@@ -199,6 +230,7 @@ def main():
             'flat_batch64_latency_ms': round(t_flat * 1e3, 2),
             'flat_batch1_latency_ms': round(t_b1 * 1e3, 2),
             'flat_recall_at_10_vs_exact': round(flat_recall, 4),
+            'flat_f32_singlepass_batch64_latency_ms': round(t_f32 * 1e3, 2),
             'adc_pq64_1M_batch64_qps': round(adc_qps_1m, 1),
             'adc_pq64_1M_batch64_latency_ms': round(t_adc_1m * 1e3, 2),
             'adc_pq64_recall_at_10': round(recall10, 4),

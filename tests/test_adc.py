@@ -79,3 +79,42 @@ def test_end_to_end_with_pq(rng):
     recon = pq.decode(codes)
     want = ((q[:, None, :] - recon[None]) ** 2).sum(-1)
     np.testing.assert_allclose(scores, want, rtol=1e-3, atol=1e-3)
+
+
+# ---------------- int8 ADC variant (ops/adc_i8.py) ----------------
+
+
+def test_i8_quantize_dtable_rank_preserving(rng):
+    from annlite_tpu.ops.adc_i8 import quantize_dtable
+
+    q, m, k = 6, 16, 32
+    dt = np.abs(rng.normal(size=(q, m, k))).astype(np.float32) * 3
+    dt_i8, scale, offset = quantize_dtable(dt)
+    dt_i8, scale, offset = map(np.asarray, (dt_i8, scale, offset))
+    assert dt_i8.dtype == np.int8
+    recon = dt_i8.astype(np.float32) * scale[:, :, None] + 0  # per-entry recon
+    # per-entry error bounded by scale/2 after removing the per-(q,m) mid
+    mid = (dt.min(2, keepdims=True) + dt.max(2, keepdims=True)) / 2
+    assert np.all(np.abs(recon - (dt - mid)) <= scale[:, :, None] * 0.51 + 1e-6)
+    # offsets restore absolute scores: sum over m of mids
+    np.testing.assert_allclose(offset[:, 0], mid[:, :, 0].sum(1), rtol=1e-5)
+
+
+def test_i8_scores_close_to_ref(rng):
+    from annlite_tpu.ops.adc_i8 import adc_scores_i8, quantize_dtable
+
+    q, m, k, n = 4, 16, 32, 128
+    dt = np.abs(rng.normal(size=(q, m, k))).astype(np.float32) * 3
+    codes_t = rng.integers(0, k, size=(m, n)).astype(np.uint8)
+    s_ref = np.asarray(adc_scores_ref(dt, codes_t))
+    # emulate the kernel's integer math exactly (CPU fallback path skips
+    # quantization, so check the quantized math directly)
+    dt_i8, scale, offset = map(np.asarray, quantize_dtable(dt))
+    acc = np.zeros((q, n), np.int64)
+    for mm in range(m):
+        acc += dt_i8[:, mm, codes_t[mm].astype(np.int64)]
+    s_q = acc.astype(np.float32) * scale + offset
+    assert np.max(np.abs(s_q - s_ref)) / np.abs(s_ref).max() < 0.01
+    # CPU fallback returns the exact reference scores
+    s_fb = np.asarray(adc_scores_i8(dt, codes_t, use_pallas=False))
+    np.testing.assert_allclose(s_fb, s_ref, rtol=1e-5)

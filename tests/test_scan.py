@@ -1,0 +1,134 @@
+"""Quantized flat-scan path (`ops/scan.py`, `index/flat.py` scan_mode).
+
+Invariant-style like the reference's `tests/test_index.py`: quantized modes
+must return the same ids as the exact scan (rerank fixes ordering), exact
+f32 distances for returned ids, and never return masked rows.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from annlite_tpu.enums import Metric
+from annlite_tpu.index.flat import FlatIndex
+from annlite_tpu.ops.adc import BIG
+from annlite_tpu.ops.scan import quantize_rows_int8, scan_topk
+
+RNG = np.random.default_rng(42)
+
+
+def test_quantize_rows_roundtrip():
+    x = RNG.normal(size=(100, 32)).astype(np.float32)
+    codes, scale = quantize_rows_int8(x)
+    assert codes.dtype == np.int8 and scale.shape == (100,)
+    recon = codes.astype(np.float32) * scale[:, None]
+    # max error per element is scale/2
+    assert np.all(np.abs(recon - x) <= scale[:, None] * 0.5 + 1e-7)
+
+
+@pytest.mark.parametrize('metric', [Metric.COSINE, Metric.EUCLIDEAN, Metric.INNER_PRODUCT])
+def test_scan_topk_matches_exact(metric):
+    n, d, q, k = 500, 48, 8, 10
+    x = RNG.normal(size=(n, d)).astype(np.float32)
+    if metric == Metric.COSINE:
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+    qs = x[:q] + RNG.normal(size=(q, d)).astype(np.float32) * 0.01
+    if metric == Metric.COSINE:
+        qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+
+    dots = qs @ x.T
+    if metric == Metric.EUCLIDEAN:
+        gt_scores = (
+            np.sum(qs * qs, 1)[:, None] + np.sum(x * x, 1)[None, :] - 2 * dots
+        )
+    else:
+        gt_scores = 1.0 - dots
+    gt_idx = np.argsort(gt_scores, axis=1)[:, :k]
+
+    codes, scale = quantize_rows_int8(x)
+    mask = jnp.ones(n, dtype=jnp.int8)
+    norms = jnp.asarray(np.sum(x * x, 1).astype(np.float32))
+    d_out, i_out = scan_topk(
+        jnp.asarray(qs), jnp.asarray(codes), jnp.asarray(scale), norms,
+        mask, k, metric, x_f32=jnp.asarray(x),
+    )
+    d_out, i_out = np.asarray(d_out), np.asarray(i_out)
+    # rerank returns exact distances -> exact id set and ordering
+    for r in range(q):
+        assert set(i_out[r]) == set(gt_idx[r])
+        np.testing.assert_allclose(
+            d_out[r], np.sort(gt_scores[r])[:k], rtol=1e-4, atol=1e-4
+        )
+
+
+def test_scan_topk_mask_excludes_rows():
+    n, d, k = 200, 16, 5
+    x = RNG.normal(size=(n, d)).astype(np.float32)
+    qs = x[:3]
+    codes, scale = quantize_rows_int8(x)
+    mask = np.ones(n, dtype=np.int8)
+    mask[::2] = 0  # kill all even rows (incl. the exact matches)
+    d_out, i_out = scan_topk(
+        jnp.asarray(qs), jnp.asarray(codes), jnp.asarray(scale),
+        jnp.asarray(np.sum(x * x, 1).astype(np.float32)),
+        jnp.asarray(mask), k, Metric.EUCLIDEAN, x_f32=jnp.asarray(x),
+    )
+    i_out, d_out = np.asarray(i_out), np.asarray(d_out)
+    assert np.all(i_out % 2 == 1)
+    assert np.all(d_out < BIG)
+
+
+def test_scan_topk_few_alive_rows_pad_big():
+    """With fewer alive rows than the shortlist, padding must never displace
+    the alive rows; dead slots surface as BIG."""
+    n, d, k = 100, 16, 10
+    x = RNG.normal(size=(n, d)).astype(np.float32)
+    codes, scale = quantize_rows_int8(x)
+    mask = np.zeros(n, dtype=np.int8)
+    mask[:4] = 1
+    d_out, i_out = scan_topk(
+        jnp.asarray(x[:2]), jnp.asarray(codes), jnp.asarray(scale),
+        jnp.asarray(np.sum(x * x, 1).astype(np.float32)),
+        jnp.asarray(mask), k, Metric.EUCLIDEAN, x_f32=jnp.asarray(x),
+    )
+    d_out, i_out = np.asarray(d_out), np.asarray(i_out)
+    alive = d_out < BIG
+    assert alive.sum(axis=1).tolist() == [4, 4]
+    for r in range(2):
+        assert set(i_out[r][alive[r]]) <= set(range(4))
+
+
+@pytest.mark.parametrize('scan_mode', ['int8', 'bf16', 'exact'])
+def test_flat_index_scan_modes_agree(scan_mode):
+    n, d, k = 300, 24, 10
+    x = RNG.normal(size=(n, d)).astype(np.float32)
+    idx = FlatIndex(d, metric=Metric.COSINE, scan_mode=scan_mode)
+    idx.add_with_ids(x, np.arange(n))
+    q = x[:4] + RNG.normal(size=(4, d)).astype(np.float32) * 0.01
+    d_out, i_out = idx.search(q, limit=k)
+
+    ref = FlatIndex(d, metric=Metric.COSINE, scan_mode='exact', exact_topk=True)
+    ref.add_with_ids(x, np.arange(n))
+    d_ref, i_ref = ref.search(q, limit=k)
+    for r in range(4):
+        assert set(np.asarray(i_out)[r]) == set(np.asarray(i_ref)[r])
+    np.testing.assert_allclose(d_out, d_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_flat_index_scan_mode_snapshot_roundtrip():
+    n, d = 120, 16
+    x = RNG.normal(size=(n, d)).astype(np.float32)
+    idx = FlatIndex(d, metric=Metric.EUCLIDEAN, scan_mode='int8')
+    idx.add_with_ids(x, np.arange(n))
+    state = idx.state_arrays()
+    idx2 = FlatIndex(d, metric=Metric.EUCLIDEAN, scan_mode='int8')
+    idx2.load_state_arrays(state)
+    q = x[:3]
+    d1, i1 = idx.search(q, limit=5)
+    d2, i2 = idx2.search(q, limit=5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(d1, d2, rtol=1e-5)
+
+
+def test_flat_index_rejects_bad_scan_mode():
+    with pytest.raises(ValueError):
+        FlatIndex(8, scan_mode='fp4')
