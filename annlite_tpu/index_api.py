@@ -75,7 +75,9 @@ class AnnLite:
         self.exact_topk = exact_topk
         self.rerank = rerank
         self.scan_mode = scan_mode
-        if index_type not in ('auto', 'flat', 'pq_scan', 'graph', 'ivf_pq', 'sharded_pq'):
+        if index_type not in (
+            'auto', 'flat', 'pq_scan', 'graph', 'ivf_pq', 'sharded_pq', 'sharded_flat'
+        ):
             raise ValueError(f'unknown index_type {index_type!r}')
         self.index_type = index_type
         self.max_degree = max_degree
@@ -179,6 +181,10 @@ class AnnLite:
             from .parallel.sharded_index import ShardedPQIndex
 
             index = ShardedPQIndex(self.index_dim, self._pq_codec)
+        elif kind == 'sharded_flat':
+            from .parallel.sharded_index import ShardedFlatIndex
+
+            index = ShardedFlatIndex(self.index_dim, metric=self.metric)
         elif kind == 'pq_scan':
             if self._pq_codec is None:
                 raise ValueError('index_type=pq_scan requires n_subvectors')

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.adc import BIG, adc_scores_ref
+from ..ops.adc import BIG, adc_scores
 
 SHARD_AXIS = 'shard'
 
@@ -60,9 +60,9 @@ def sharded_adc_topk(mesh: Mesh, dtable, codes_t, mask, k: int):
     """
 
     def local(dt, ct, mk):
-        # per-shard score + local top-k (ct/mk are the local shard)
-        scores = adc_scores_ref(dt, ct)
-        scores = jnp.where(mk[None, :] > 0, scores, BIG)
+        # per-shard score + local top-k (ct/mk are the local shard);
+        # adc_scores picks the Pallas kernel on TPU, gather-ref elsewhere
+        scores = adc_scores(dt, ct, mk)
         neg, idx = jax.lax.top_k(-scores, k)
         local_n = ct.shape[1]
         gidx = idx + jax.lax.axis_index(SHARD_AXIS) * local_n
@@ -80,6 +80,61 @@ def sharded_adc_topk(mesh: Mesh, dtable, codes_t, mask, k: int):
         check_vma=False,
     )
     return jax.jit(fn)(dtable, codes_t, mask)
+
+
+def shard_rows(mesh: Mesh, x: np.ndarray, n_pad: Optional[int] = None) -> jax.Array:
+    """Place a row-major array ``[N, ...]`` (or ``[N]``) with N sharded over
+    the mesh, padding N to a multiple of the axis size."""
+    n_dev = mesh.devices.size
+    n = x.shape[0]
+    if n_pad is None:
+        n_pad = -(-n // n_dev) * n_dev
+    if n_pad != n:
+        x = np.pad(x, ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1))
+    spec = P(SHARD_AXIS) if x.ndim == 1 else P(SHARD_AXIS, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def sharded_scan_topk(mesh: Mesh, q, x_scan, row_scale, norms_sq, mask,
+                      x_f32, k: int, metric, rerank: Optional[int] = None):
+    """Distributed quantized flat search (the multi-chip `ops/scan.py`).
+
+    q ``[Q, D]`` replicated; ``x_scan``/``row_scale``/``norms_sq``/``mask``/
+    ``x_f32`` row-sharded on N.  Each device scans its int8/bf16 shard,
+    reranks its local shortlist against its local f32 rows (all gathers stay
+    shard-local), then the k winners per shard are all_gathered and merged —
+    cross-device traffic is O(P*Q*k).  Returns replicated
+    ``(exact_dists[Q, k], global_idx[Q, k])``.
+    """
+    from ..ops.scan import _approx_scores, _exact_rerank
+    from ..ops.topk import topk as _topk
+
+    if rerank is None:
+        rerank = max(4 * k, 32)
+
+    def local(q, xs, rs, ns, mk, xf):
+        scores = _approx_scores(q, xs, rs, ns, int(metric))
+        scores = jnp.where(mk[None, :] > 0, scores, BIG)
+        r = min(rerank, xs.shape[0])
+        cand_s, cand = _topk(scores, r, exact=False)
+        kk = min(k, r)
+        d, idx = _exact_rerank(q, xf, cand, cand_s >= BIG, int(metric), kk)
+        gidx = idx + jax.lax.axis_index(SHARD_AXIS) * xs.shape[0]
+        gidx = jnp.where(d >= BIG, -1, gidx)
+        d_all = jax.lax.all_gather(d, SHARD_AXIS, axis=1, tiled=True)
+        i_all = jax.lax.all_gather(gidx, SHARD_AXIS, axis=1, tiled=True)
+        neg, pos = jax.lax.top_k(-d_all, kk)
+        return -neg, jnp.take_along_axis(i_all, pos, axis=1)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS),
+                  P(SHARD_AXIS), P(SHARD_AXIS, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(q, x_scan, row_scale, norms_sq, mask, x_f32)
 
 
 def sharded_lloyd_step(mesh: Mesh, x_sharded, centroids):

@@ -100,3 +100,49 @@ def test_sharded_pq_index_facade(tmp_path, rng):
     _, ids = ann.search_numpy(x[:1], limit=5)
     assert 'd0' not in ids[0]
     ann.close()
+
+
+@require_devices(2)
+def test_sharded_scan_matches_flat_index(rng):
+    """ShardedFlatIndex must agree with the single-device exact FlatIndex."""
+    from annlite_tpu.enums import Metric
+    from annlite_tpu.index.flat import FlatIndex
+    from annlite_tpu.parallel import ShardedFlatIndex
+
+    n, d, k = 700, 24, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = x[:5] + rng.standard_normal((5, d)).astype(np.float32) * 0.01
+
+    sharded = ShardedFlatIndex(d, metric=Metric.EUCLIDEAN)
+    assert sharded.n_shards >= 2
+    sharded.add_with_ids(x, np.arange(n))
+    d_s, i_s = sharded.search(q, limit=k)
+
+    ref = FlatIndex(d, metric=Metric.EUCLIDEAN, scan_mode='exact', exact_topk=True)
+    ref.add_with_ids(x, np.arange(n))
+    d_r, i_r = ref.search(q, limit=k)
+    for r in range(5):
+        assert set(i_s[r].tolist()) == set(np.asarray(i_r)[r].tolist())
+    np.testing.assert_allclose(d_s, d_r, rtol=1e-3, atol=1e-4)
+
+    # delete + mask semantics across shards
+    sharded.delete_rows(np.asarray(i_s[0][:3]))
+    _, i_s2 = sharded.search(q[:1], limit=k)
+    assert not (set(i_s2[0].tolist()) & set(i_s[0][:3].tolist()))
+
+
+@require_devices(2)
+def test_sharded_flat_facade(tmp_path, rng):
+    from annlite_tpu import AnnLite
+    from annlite_tpu.doc import Doc
+    from annlite_tpu.parallel import ShardedFlatIndex
+
+    D, N = 16, 400
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    ann = AnnLite(n_dim=D, metric='cosine', index_type='sharded_flat',
+                  data_path=str(tmp_path / 'sf'))
+    assert isinstance(ann._container.index, ShardedFlatIndex)
+    ann.index([Doc(id=f'd{i}', embedding=x[i]) for i in range(N)])
+    _, ids = ann.search_numpy(x[:10], limit=3)
+    assert all(ids[i][0] == f'd{i}' for i in range(10))
+    ann.close()
