@@ -1,0 +1,226 @@
+"""Fused quantized scan + in-kernel candidate selection.
+
+The int8 first-pass scan (`ops/scan.py`) materializes a ``[Q, N]`` f32 score
+matrix in HBM (256 MB at Q=64, N=1M) that the top-k reduction immediately
+reads back.  This kernel fuses the two: each grid step scans one block of
+``block_rows`` corpus rows and emits only the block's *bucketed top-2*
+candidates — for every (query, lane) bucket of ``block_rows/128`` strided
+rows it keeps the best two scores and their global row ids.  HBM traffic
+drops from ``bytes(x8) + 2*4*Q*N`` to ``bytes(x8) + ~1%``.
+
+Precision: int8 codes are converted to bf16 *inside VMEM* and contracted on
+the MXU with f32 accumulation.  Every int8 value is exactly representable in
+bf16 and dot products of 768 int8 pairs stay below 2^24, so the bf16 MXU
+path reproduces the i8×i8→i32 contraction bit-exactly — while measuring
+faster than Mosaic's int8 matmul on v5e (see CLAUDE.md perf notes).
+
+Selection semantics match `jax.lax.approx_min_k`'s bucketed PartialReduce
+(same collision model) but keep 2 per bucket, so losing a true top-k item
+needs 3 contenders in one bucket — negligible at 1M scale (verified by the
+recall assertions in tests/test_scan.py and bench.py).
+
+Replaces the same reference path as `ops/scan.py` — the brute-force scan of
+`annlite/core/index/flat_index.py:15-39` — fused with the shortlist
+selection the reference delegates to `annlite/math.py:94-120` ``top_k``.
+"""
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .adc import BIG
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# --------------------------------------------------------------------------
+# Kernel
+# --------------------------------------------------------------------------
+
+
+def _fused_scan_kernel(
+    qbf_ref,   # [QP, D]   bf16 (exact int8 values, or bf16 queries)
+    qsc_ref,   # [QP, 1]   f32 per-query scale
+    x_ref,     # [BS, D]   int8 | bf16 corpus block
+    rs_ref,    # [1, BS]   f32 per-row scale
+    bias_ref,  # [1, BS]   f32 per-row additive bias (norms + BIG*(1-mask))
+    s_out,     # [1, QP, 256] f32 selected scores (top-2 per lane bucket)
+    r_out,     # [1, QP, 256] i32 selected global rows
+    *,
+    coef: float,
+    groups: int,
+):
+    xb = x_ref[:].astype(jnp.bfloat16)  # [BS, D]
+    acc = jax.lax.dot_general(
+        qbf_ref[:], xb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [QP, BS]
+    dots = acc * qsc_ref[:]  # [QP, 1] broadcast
+    sel = bias_ref[0][None, :] + coef * (dots * rs_ref[0][None, :])
+
+    qp = sel.shape[0]
+    s3 = sel.reshape(qp, groups, 128)
+    giota = jax.lax.broadcasted_iota(jnp.int32, (qp, groups, 128), 1)
+    mn1 = jnp.min(s3, axis=1)  # [QP, 128]
+    g1 = jnp.min(jnp.where(s3 <= mn1[:, None, :], giota, groups), axis=1)
+    s3m = jnp.where(giota == g1[:, None, :], jnp.inf, s3)
+    mn2 = jnp.min(s3m, axis=1)
+    g2 = jnp.min(jnp.where(s3m <= mn2[:, None, :], giota, groups), axis=1)
+
+    base = pl.program_id(0) * (groups * 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qp, 128), 1)
+    s_out[0, :, :128] = mn1
+    s_out[0, :, 128:] = mn2
+    r_out[0, :, :128] = base + g1 * 128 + lane
+    r_out[0, :, 128:] = base + jnp.minimum(g2, groups - 1) * 128 + lane
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _fused_scan_pallas(qbf, qsc, x_scan, rs, bias, block_rows: int, coef: float):
+    qp, d = qbf.shape
+    n = x_scan.shape[0]
+    nb = n // block_rows
+    groups = block_rows // 128
+    kernel = partial(_fused_scan_kernel, coef=coef, groups=groups)
+    s, r = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, qp, 256), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qp, 256), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, qp, 256), jnp.float32),
+            jax.ShapeDtypeStruct((nb, qp, 256), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * n * d,
+            bytes_accessed=int(
+                n * d * x_scan.dtype.itemsize + 2 * 4 * n + nb * qp * 256 * 8
+            ),
+            transcendentals=0,
+        ),
+    )(qbf, qsc, x_scan, rs, bias)
+    # [NB, QP, 256] -> [QP, NB*256]
+    return s.transpose(1, 0, 2).reshape(qp, nb * 256), r.transpose(1, 0, 2).reshape(
+        qp, nb * 256
+    )
+
+
+# --------------------------------------------------------------------------
+# jnp reference (CPU fallback / tests): same bucketed-top-2 semantics
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _fused_scan_ref(qbf, qsc, x_scan, rs, bias, block_rows: int, coef: float):
+    qp = qbf.shape[0]
+    n = x_scan.shape[0]
+    nb = n // block_rows
+    groups = block_rows // 128
+    acc = jax.lax.dot_general(
+        qbf, x_scan.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    sel = bias[None, :] + coef * (acc * qsc[:, None] * rs[None, :])
+    s4 = sel.reshape(qp, nb, groups, 128)
+    giota = jax.lax.broadcasted_iota(jnp.int32, (qp, nb, groups, 128), 2)
+    mn1 = jnp.min(s4, axis=2)
+    g1 = jnp.min(jnp.where(s4 <= mn1[:, :, None, :], giota, groups), axis=2)
+    s4m = jnp.where(giota == g1[:, :, None, :], jnp.inf, s4)
+    mn2 = jnp.min(s4m, axis=2)
+    g2 = jnp.min(jnp.where(s4m <= mn2[:, :, None, :], giota, groups), axis=2)
+    base = (jnp.arange(nb) * block_rows)[None, :, None]
+    lane = jnp.arange(128)[None, None, :]
+    r1 = base + g1 * 128 + lane
+    r2 = base + jnp.minimum(g2, groups - 1) * 128 + lane
+    s = jnp.concatenate([mn1, mn2], axis=-1).reshape(qp, nb * 256)
+    r = jnp.concatenate([r1, r2], axis=-1).reshape(qp, nb * 256)
+    return s, r
+
+
+# --------------------------------------------------------------------------
+# Public wrapper
+# --------------------------------------------------------------------------
+
+
+def supports_fused_scan(n: int, d: int, q: int, block_rows: int = 8192) -> bool:
+    """The fused kernel requires lane-aligned geometry; callers fall back to
+    the unfused scan otherwise."""
+    return n % block_rows == 0 and d % 128 == 0 and q <= 128 and n // block_rows >= 1
+
+
+def fused_scan_candidates(
+    q: jax.Array,
+    x_scan: jax.Array,
+    row_scale: Optional[jax.Array],
+    bias: jax.Array,
+    metric_val: int,
+    *,
+    block_rows: int = 8192,
+    use_pallas: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Scan ``x_scan`` (int8 [N, D] with ``row_scale``, or bf16) against f32
+    queries ``q [Q, D]`` and return ``(scores[Q, C], rows[Q, C])`` — the
+    bucketed top-2 candidate set (C = N/block_rows*256), scores finalized to
+    the same values the unfused scan produces (BIG-or-more for masked rows).
+
+    ``bias`` is f32 [N]: ``BIG*(1-mask)`` for IP/cosine, ``norms_sq +
+    BIG*(1-mask)`` for L2.  The |q|^2 term of L2 is added here, outside the
+    kernel.
+    """
+    from ..enums import Metric
+    from .scan import quantize_rows_int8_jax
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
+    nq, d = q.shape
+    n = x_scan.shape[0]
+    if n % block_rows != 0:
+        raise ValueError(
+            f'fused scan requires N % {block_rows} == 0 (got N={n}); the '
+            'library pads corpus buffers to chunk multiples (see '
+            'index/buffer.py) — callers with odd N must use the unfused scan'
+        )
+    qp = _round_up(max(nq, 1), 8)
+
+    if x_scan.dtype == jnp.int8:
+        q8, qsc = quantize_rows_int8_jax(q)
+        qbf = q8.astype(jnp.bfloat16)
+        rs = row_scale
+    else:
+        qbf = q.astype(jnp.bfloat16)
+        qsc = jnp.ones((nq,), jnp.float32)
+        rs = None
+    if rs is None:
+        rs = jnp.ones((n,), jnp.float32)
+    if qp != nq:
+        qbf = jnp.pad(qbf, ((0, qp - nq), (0, 0)))
+        qsc = jnp.pad(qsc, (0, qp - nq), constant_values=1.0)
+
+    coef = -2.0 if metric_val == int(Metric.EUCLIDEAN) else -1.0
+    if use_pallas:
+        s, r = _fused_scan_pallas(
+            qbf, qsc[:, None], x_scan, rs[None, :], bias[None, :],
+            block_rows, coef,
+        )
+    else:
+        s, r = _fused_scan_ref(qbf, qsc, x_scan, rs, bias, block_rows, coef)
+    s, r = s[:nq], r[:nq]
+    if metric_val == int(Metric.EUCLIDEAN):
+        s = s + jnp.sum(q * q, axis=1)[:, None]
+    else:
+        s = s + 1.0
+    return s, r

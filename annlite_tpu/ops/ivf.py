@@ -155,32 +155,69 @@ class BlockedCodes:
     def n_blocks(self) -> int:
         return self.codes.shape[0]
 
-    def _new_block(self, cell: int) -> int:
+    def _grow(self, n_new: int):
         self.codes = np.concatenate(
-            [self.codes, np.zeros((1, self.m, self.bs), np.uint8)]
+            [self.codes, np.zeros((n_new, self.m, self.bs), np.uint8)]
         )
-        self.mask = np.concatenate([self.mask, np.zeros((1, self.bs), np.int8)])
+        self.mask = np.concatenate([self.mask, np.zeros((n_new, self.bs), np.int8)])
         self.row_map = np.concatenate(
-            [self.row_map, np.full((1, self.bs), -1, np.int32)]
+            [self.row_map, np.full((n_new, self.bs), -1, np.int32)]
         )
-        self.block_cell = np.append(self.block_cell, np.int32(cell))
-        b = self.n_blocks - 1
-        self._cell_tail[cell] = (b, 0)
-        return b
+        self.block_cell = np.concatenate(
+            [self.block_cell, np.zeros(n_new, np.int32)]
+        )
 
     def append(self, codes: np.ndarray, cells: np.ndarray, rows: np.ndarray):
-        """codes [n, M]; cells [n]; rows [n] global row ids."""
-        for code, cell, row in zip(codes, np.asarray(cells), np.asarray(rows)):
-            cell = int(cell)
+        """codes [n, M]; cells [n]; rows [n] global row ids.
+
+        Vectorized bulk ingest: rows are grouped by cell (stable, preserving
+        input order within a cell), each cell fills its tail block then any
+        number of freshly allocated blocks; all block storage is grown in ONE
+        reallocation."""
+        codes = np.asarray(codes, dtype=np.uint8)
+        cells = np.asarray(cells).astype(np.int64).ravel()
+        rows = np.asarray(rows).astype(np.int64).ravel()
+        n = len(rows)
+        if n == 0:
+            return
+        order = np.argsort(cells, kind='stable')
+        uniq, starts = np.unique(cells[order], return_index=True)
+        counts = np.diff(np.append(starts, n))
+
+        # one reallocation for all new blocks
+        need_new = 0
+        for cell, cnt in zip(uniq.tolist(), counts.tolist()):
+            _, fill = self._cell_tail.get(cell, (None, self.bs))
+            rem = cnt - min(self.bs - fill, cnt)
+            need_new += -(-rem // self.bs)
+        next_block = self.n_blocks
+        if need_new:
+            self._grow(need_new)
+
+        for cell, s0, cnt in zip(uniq.tolist(), starts.tolist(), counts.tolist()):
+            seg = order[s0:s0 + cnt]
+            seg_codes, seg_rows = codes[seg], rows[seg]
+            pos = 0
             b, fill = self._cell_tail.get(cell, (None, self.bs))
-            if fill >= self.bs:
-                b = self._new_block(cell)
-                fill = 0
-            self.codes[b, :, fill] = code
-            self.mask[b, fill] = 1
-            self.row_map[b, fill] = row
-            self._row_addr[int(row)] = (b, fill)
-            self._cell_tail[cell] = (b, fill + 1)
+            while pos < cnt:
+                if fill >= self.bs:
+                    b, fill = next_block, 0
+                    self.block_cell[b] = cell
+                    next_block += 1
+                take = min(self.bs - fill, cnt - pos)
+                sl = slice(fill, fill + take)
+                self.codes[b, :, sl] = seg_codes[pos:pos + take].T
+                self.mask[b, sl] = 1
+                self.row_map[b, sl] = seg_rows[pos:pos + take]
+                self._row_addr.update(
+                    zip(
+                        seg_rows[pos:pos + take].tolist(),
+                        ((b, s) for s in range(fill, fill + take)),
+                    )
+                )
+                fill += take
+                pos += take
+            self._cell_tail[cell] = (b, fill)
         self._dirty = True
 
     def delete_rows(self, rows):

@@ -102,6 +102,27 @@ def _scan_rerank_topk(q, x_scan, row_scale, norms_sq, mask, k: int,
     return _exact_rerank(q, x_f32, cand, cand_s >= BIG, metric_val, k)
 
 
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _fused_scan_rerank_topk(q, x_scan, row_scale, norms_sq, mask, k: int,
+                            rerank: int, metric_val: int, x_f32=None):
+    """Fused-kernel variant: candidate selection happens inside the scan
+    kernel (`ops/fused_scan.py`), so the [Q, N] score matrix never reaches
+    HBM."""
+    from .fused_scan import fused_scan_candidates
+    from .topk import topk as _topk
+
+    bias = jnp.where(mask > 0, 0.0, BIG).astype(jnp.float32)
+    if metric_val == int(Metric.EUCLIDEAN):
+        bias = bias + norms_sq
+    cs, cr = fused_scan_candidates(q, x_scan, row_scale, bias, metric_val)
+    if x_f32 is None:
+        d, pos = _topk(cs, k, exact=False)
+        return d, jnp.take_along_axis(cr, pos, axis=1)
+    cand_s, pos = _topk(cs, rerank, exact=False)
+    cand = jnp.take_along_axis(cr, pos, axis=1)
+    return _exact_rerank(q, x_f32, cand, cand_s >= BIG, metric_val, k)
+
+
 def scan_topk(
     q: jax.Array,
     x_scan: jax.Array,
@@ -112,11 +133,17 @@ def scan_topk(
     metric: Metric,
     x_f32: Optional[jax.Array] = None,
     rerank: Optional[int] = None,
+    fused: Optional[bool] = None,
 ):
     """Quantized scan + exact rerank.  ``x_scan`` is int8 (with
     ``row_scale``) or bfloat16; ``x_f32`` enables the exact rerank pass
     (skip it to get raw quantized ranking, e.g. when f32 rows are not kept).
-    ``norms_sq`` (exact f32 ``|x|^2``) is required for EUCLIDEAN."""
+    ``norms_sq`` (exact f32 ``|x|^2``) is required for EUCLIDEAN.
+
+    ``fused=None`` auto-selects the fused Pallas scan+select kernel on TPU
+    when the geometry allows (`ops/fused_scan.py`)."""
+    from .fused_scan import supports_fused_scan
+
     n = x_scan.shape[0]
     if rerank is None:
         rerank = max(4 * k, 32)
@@ -125,6 +152,15 @@ def scan_topk(
         row_scale = jnp.ones((n,), jnp.float32)
     if norms_sq is None:
         norms_sq = jnp.zeros((n,), jnp.float32)
-    return _scan_rerank_topk(
+    if fused is None:
+        # n//32 = candidate-set size the fused kernel emits (top-2 per
+        # 128-lane bucket, blocks of 8192): the shortlist must fit inside it
+        fused = (
+            jax.default_backend() == 'tpu'
+            and supports_fused_scan(n, x_scan.shape[1], q.shape[0])
+            and max(k, rerank) <= n // 32
+        )
+    impl = _fused_scan_rerank_topk if fused else _scan_rerank_topk
+    return impl(
         q, x_scan, row_scale, norms_sq, mask, k, rerank, int(metric), x_f32
     )

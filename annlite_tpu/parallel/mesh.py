@@ -112,12 +112,28 @@ def sharded_scan_topk(mesh: Mesh, q, x_scan, row_scale, norms_sq, mask,
     if rerank is None:
         rerank = max(4 * k, 32)
 
+    from ..enums import Metric
+    from ..ops.fused_scan import fused_scan_candidates, supports_fused_scan
+
     def local(q, xs, rs, ns, mk, xf):
-        scores = _approx_scores(q, xs, rs, ns, int(metric))
-        scores = jnp.where(mk[None, :] > 0, scores, BIG)
         r = min(rerank, xs.shape[0])
-        cand_s, cand = _topk(scores, r, exact=False)
         kk = min(k, r)
+        if (
+            jax.default_backend() == 'tpu'
+            and supports_fused_scan(xs.shape[0], xs.shape[1], q.shape[0])
+            and r <= xs.shape[0] // 32
+        ):
+            # fused Pallas scan+select per shard (see ops/fused_scan.py)
+            bias = jnp.where(mk > 0, 0.0, BIG).astype(jnp.float32)
+            if int(metric) == int(Metric.EUCLIDEAN):
+                bias = bias + ns
+            cs, cr = fused_scan_candidates(q, xs, rs, bias, int(metric))
+            cand_s, pos = _topk(cs, r, exact=False)
+            cand = jnp.take_along_axis(cr, pos, axis=1)
+        else:
+            scores = _approx_scores(q, xs, rs, ns, int(metric))
+            scores = jnp.where(mk[None, :] > 0, scores, BIG)
+            cand_s, cand = _topk(scores, r, exact=False)
         d, idx = _exact_rerank(q, xf, cand, cand_s >= BIG, int(metric), kk)
         gidx = idx + jax.lax.axis_index(SHARD_AXIS) * xs.shape[0]
         gidx = jnp.where(d >= BIG, -1, gidx)

@@ -192,10 +192,15 @@ class ShardedFlatIndex(BaseIndex):
 
     def _sync(self):
         if self._dirty or self._placed is None:
+            import jax
+
             from ..ops.scan import quantize_rows_int8
 
             n_dev = self.n_shards
-            n_pad = max(-(-self.size // n_dev) * n_dev, n_dev)
+            # align per-shard rows to the fused kernel's block size on TPU
+            # (padding is masked out; see ops/fused_scan.py)
+            unit = n_dev * (8192 if jax.default_backend() == 'tpu' else 1)
+            n_pad = max(-(-self.size // unit) * unit, unit)
             codes, scale = quantize_rows_int8(self._vectors)
             norms = np.sum(self._vectors * self._vectors, axis=1, dtype=np.float32)
             self._placed = (

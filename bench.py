@@ -66,14 +66,17 @@ def main():
     from annlite_tpu.ops.scan import quantize_rows_int8_jax, scan_topk
     from annlite_tpu.ops.topk import refined_topk
 
-    N, D, Q, TOPK = 1_000_000, 768, 64, 10
+    # 2^20 rows: >= the reference's 1M AND the library's natural padded
+    # geometry (DeviceBuffer pads capacity to 64k chunks), which enables the
+    # fused Pallas scan+select kernel (ops/fused_scan.py)
+    N, D, Q, TOPK = 1_048_576, 768, 64, 10
     key = jax.random.PRNGKey(0)
     kx, kq, kc = jax.random.split(key, 3)
     carry0 = jnp.float32(0.0)
 
     # ---- config 1: flat cosine scan, 1M x 768-d (reference headline) ----
-    # library fast path: int8 first-pass scan (bandwidth-optimal) + exact
-    # f32 rerank of the top-32 — returned distances are exact f32
+    # library fast path: fused int8 scan+select kernel (bandwidth-bound) +
+    # exact f32 rerank of the shortlist — returned distances are exact f32
     x = jax.random.normal(kx, (N, D), dtype=jnp.float32)
     x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
     x8, xscale = quantize_rows_int8_jax(x)  # on device: no 3GB host pull
@@ -84,19 +87,37 @@ def main():
     ]
 
     @jax.jit
-    def flat_search(q, x8, xscale, x, carry):
+    def flat_search(q, x8, xscale, x, mask, carry):
         q = q + carry * 1e-12
         q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
         d, i = scan_topk(
-            q, x8, xscale, None, ones_mask, TOPK, Metric.COSINE, x_f32=x
+            q, x8, xscale, None, mask, TOPK, Metric.COSINE, x_f32=x
         )
         return d, i, d[0, 0]
 
-    log('flat scan (int8 + f32 rerank): compiling + timing')
-    t_flat = chain_time(flat_search, lambda i: (qs[i], x8, xscale, x), carry0)
+    log('flat scan (fused int8 + f32 rerank): compiling + timing')
+    t_flat = chain_time(
+        flat_search, lambda i: (qs[i], x8, xscale, x, ones_mask), carry0
+    )
     log(f'flat batch64: {t_flat*1e3:.2f} ms')
     flat_qps = Q / t_flat
-    t_b1 = chain_time(flat_search, lambda i: (qs[i][:1], x8, xscale, x), carry0)
+    t_b1 = chain_time(
+        flat_search, lambda i: (qs[i][:1], x8, xscale, x, ones_mask), carry0
+    )
+
+    # filtered search at 5% / 80% selectivity — the predicate bitmask is
+    # fused into the scan (same compiled program, different mask values),
+    # vs the reference's 8.2 s / 73.6 s at batch 64 (README.md:374-379)
+    log('filtered scan timing')
+    t_filt = {}
+    for sel in (0.05, 0.80):
+        fmask = (
+            jax.random.uniform(jax.random.PRNGKey(int(sel * 100)), (N,)) < sel
+        ).astype(jnp.int8)
+        t_filt[sel] = chain_time(
+            flat_search, lambda i: (qs[i], x8, xscale, x, fmask), carry0
+        )
+        log(f'  selectivity {int(sel*100)}%: {t_filt[sel]*1e3:.2f} ms')
 
     # f32-DEFAULT single-pass scan for comparison (the previous fast path)
     @jax.jit
@@ -120,7 +141,7 @@ def main():
         neg, i = jax.lax.top_k(-scores, TOPK)
         return i
 
-    approx_idx = np.asarray(flat_search(qs[0], x8, xscale, x, carry0)[1])
+    approx_idx = np.asarray(flat_search(qs[0], x8, xscale, x, ones_mask, carry0)[1])
     exact_idx = np.asarray(flat_exact(qs[0], x))
     flat_recall = float(
         np.mean([len(set(approx_idx[i]) & set(exact_idx[i])) / TOPK for i in range(Q)])
@@ -220,6 +241,87 @@ def main():
     rr_qps_1m = Q / t_rr_1m
     del vecs_1m
 
+    # ---- config 3: IVF-PQ at 1M — cell-pruned blocked scan + recall ----
+    # clustered corpus (1024 cells), n_probe=8: the scalar-prefetch kernel
+    # scans ONLY probed-cell blocks (ops/ivf.py), the TPU equivalent of the
+    # reference's per-cell probing (annlite/container.py:88-144)
+    from annlite_tpu.index.ivf_pq import IVFPQIndex
+    from annlite_tpu.ops.ivf import ivf_scan_topk
+
+    log('building IVF-PQ 1M (clustered corpus, 1024 cells)')
+    rng = np.random.default_rng(0)
+    centers_np = np.asarray(centers)  # [1024, D2]
+    labels_1m = rng.integers(0, centers_np.shape[0], N)
+    ivf = IVFPQIndex(dim=D2, pq_codec=pq, rerank=100)
+    xs_parts = []
+    CH = 131_072
+    for lo in range(0, N, CH):
+        hi = min(lo + CH, N)
+        chunk = (
+            centers_np[labels_1m[lo:hi]]
+            + rng.normal(size=(hi - lo, D2))
+        ).astype(np.float32)
+        ivf.add_with_ids(chunk, np.arange(lo, hi), cells=labels_1m[lo:hi])
+        xs_parts.append(jnp.asarray(chunk))
+    xs_dev = jnp.concatenate(xs_parts)
+    del xs_parts
+    cb, mb, rm = ivf._store.device_arrays()
+
+    # batch=8, n_probe=8: per-batch probed-cell union, ADC scan of the
+    # probed blocks only, exact rerank of the top-100 -> top-10
+    from annlite_tpu.ops.adc import BIG
+
+    n_probe, QB = 8, 8
+    ql = rng.integers(0, centers_np.shape[0], Q)
+    qv2 = (centers_np[ql] + rng.normal(size=(Q, D2))).astype(np.float32)
+    d2c = ((qv2[:, None, :] - centers_np[None]) ** 2).sum(-1)  # [Q, 1024]
+    probed = np.argsort(d2c, axis=1)[:, :n_probe]
+    sels, dts_ivf, qbs = [], [], []
+    for i in range(Q // QB):
+        lo = i * QB
+        sels.append(ivf._store.select_blocks(np.unique(probed[lo:lo + QB])))
+        dts_ivf.append(jnp.asarray(pq.get_dist_mat(qv2[lo:lo + QB])))
+        qbs.append(jnp.asarray(qv2[lo:lo + QB]))
+    S = max(len(s) for s in sels)
+    sels = [
+        jnp.asarray(np.pad(s, (0, S - len(s)), constant_values=-1)) for s in sels
+    ]
+    scanned_frac = S * ivf._store.bs / N
+    vecs_dev = ivf._vectors.device_view()  # bf16 rows for the rerank
+
+    @jax.jit
+    def ivf_chain(dt, sel, qv, cb, mb, rm, vecs, carry):
+        dt = dt + carry * 1e-12
+        d, rows = ivf_scan_topk(sel, dt, cb, mb, rm, 100)
+        safe = jnp.clip(rows, 0, vecs.shape[0] - 1)
+        cvec = vecs[safe].astype(jnp.float32)
+        dd = jnp.sum((qv[:, None, :] - cvec) ** 2, axis=-1)
+        dd = jnp.where(d < BIG / 2, dd, BIG)
+        neg, pos = jax.lax.top_k(-dd, TOPK)
+        return -neg, jnp.take_along_axis(rows, pos, axis=1), -neg[0, 0]
+
+    # recall@10 over all 64 queries (8 batches) vs exact 1M ground truth
+    log('IVF-PQ recall')
+    r_ivf = np.concatenate([
+        np.asarray(ivf_chain(dts_ivf[i], sels[i], qbs[i], cb, mb, rm,
+                             vecs_dev, carry0)[1])
+        for i in range(Q // QB)
+    ])
+    gt_1m = np.asarray(exact_l2(jnp.asarray(qv2), xs_dev))
+    recall_ivf = float(
+        np.mean([len(set(gt_1m[i]) & set(r_ivf[i])) / TOPK for i in range(Q)])
+    )
+    del xs_dev
+
+    log('IVF-PQ 1M timing')
+    t_ivf = chain_time(
+        ivf_chain,
+        lambda i: (dts_ivf[i % len(sels)], sels[i % len(sels)],
+                   qbs[i % len(sels)], cb, mb, rm, vecs_dev),
+        carry0,
+    )
+    ivf_qps = QB / t_ivf
+
     baseline_qps = 64 / 5.778  # reference README.md:350, batch=64 @ 1M
     result = {
         'metric': 'qps_1M_768d_batch64_flat_cosine_top10',
@@ -236,6 +338,11 @@ def main():
             'adc_pq64_recall_at_10': round(recall10, 4),
             'adc_pq64_rerank100_1M_batch64_qps': round(rr_qps_1m, 1),
             'adc_pq64_rerank100_recall_at_10': round(recall10_rerank, 4),
+            'flat_filtered_5pct_batch64_latency_ms': round(t_filt[0.05] * 1e3, 2),
+            'flat_filtered_80pct_batch64_latency_ms': round(t_filt[0.80] * 1e3, 2),
+            'ivfpq_1M_batch8_probe8_rerank100_qps': round(ivf_qps, 1),
+            'ivfpq_1M_probe8_rerank100_recall_at_10': round(recall_ivf, 4),
+            'ivfpq_scanned_fraction': round(scanned_frac, 4),
             'baseline_qps': round(baseline_qps, 2),
             'baseline_recall': '<1.0 (HNSW ef=50)',
             'device': str(jax.devices()[0]),

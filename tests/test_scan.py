@@ -132,3 +132,87 @@ def test_flat_index_scan_mode_snapshot_roundtrip():
 def test_flat_index_rejects_bad_scan_mode():
     with pytest.raises(ValueError):
         FlatIndex(8, scan_mode='fp4')
+
+
+# ---------------------------------------------------------------------------
+# Fused scan+select kernel (ops/fused_scan.py) — on CPU this exercises the
+# jnp reference; on TPU the Pallas kernel itself.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize('metric', [Metric.COSINE, Metric.EUCLIDEAN])
+def test_fused_scan_candidates_match_unfused_scores(metric):
+    """Candidate set must contain the exact top-k, and each candidate's score
+    must equal the unfused quantized score for that row."""
+    from annlite_tpu.ops.fused_scan import fused_scan_candidates
+    from annlite_tpu.ops.scan import _approx_scores
+
+    n, d, q, k = 16384, 128, 4, 5
+    x = RNG.normal(size=(n, d)).astype(np.float32)
+    if metric == Metric.COSINE:
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+    qs = x[:q].copy()
+    codes, scale = quantize_rows_int8(x)
+    norms = np.sum(x * x, 1).astype(np.float32)
+
+    bias = jnp.asarray(norms) if metric == Metric.EUCLIDEAN else jnp.zeros(n)
+    cs, cr = fused_scan_candidates(
+        jnp.asarray(qs), jnp.asarray(codes), jnp.asarray(scale),
+        bias.astype(jnp.float32), int(metric),
+    )
+    cs, cr = np.asarray(cs), np.asarray(cr)
+    assert cs.shape == (q, (n // 8192) * 256)
+    assert np.all((cr >= 0) & (cr < n))
+
+    full = np.asarray(
+        _approx_scores(
+            jnp.asarray(qs), jnp.asarray(codes), jnp.asarray(scale),
+            jnp.asarray(norms), int(metric),
+        )
+    )
+    # candidate scores == the unfused scan's score at the same row
+    for r in range(q):
+        np.testing.assert_allclose(cs[r], full[r, cr[r]], rtol=1e-5, atol=1e-4)
+    # the exact top-k rows all survive bucketed selection
+    gt = np.argsort(full, axis=1)[:, :k]
+    for r in range(q):
+        assert set(gt[r]) <= set(cr[r].tolist())
+
+
+def test_fused_scan_topk_end_to_end():
+    n, d, q, k = 8192, 128, 3, 3
+    x = RNG.normal(size=(n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    qs = x[:q] + RNG.normal(size=(q, d)).astype(np.float32) * 0.001
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    gt_scores = 1.0 - qs @ x.T
+    gt_idx = np.argsort(gt_scores, axis=1)[:, :k]
+    codes, scale = quantize_rows_int8(x)
+    d_out, i_out = scan_topk(
+        jnp.asarray(qs), jnp.asarray(codes), jnp.asarray(scale), None,
+        jnp.ones(n, jnp.int8), k, Metric.COSINE, x_f32=jnp.asarray(x),
+        fused=True,
+    )
+    d_out, i_out = np.asarray(d_out), np.asarray(i_out)
+    for r in range(q):
+        assert set(i_out[r]) == set(gt_idx[r])
+        np.testing.assert_allclose(
+            d_out[r], np.sort(gt_scores[r])[:k], rtol=1e-4, atol=1e-4
+        )
+
+
+def test_fused_scan_mask_excludes_rows():
+    n, d, k = 8192, 128, 5
+    x = RNG.normal(size=(n, d)).astype(np.float32)
+    codes, scale = quantize_rows_int8(x)
+    mask = np.ones(n, dtype=np.int8)
+    mask[::2] = 0
+    d_out, i_out = scan_topk(
+        jnp.asarray(x[:3]), jnp.asarray(codes), jnp.asarray(scale),
+        jnp.asarray(np.sum(x * x, 1).astype(np.float32)),
+        jnp.asarray(mask), k, Metric.EUCLIDEAN, x_f32=jnp.asarray(x),
+        fused=True,
+    )
+    i_out, d_out = np.asarray(i_out), np.asarray(d_out)
+    assert np.all(i_out % 2 == 1)
+    assert np.all(d_out < BIG)
