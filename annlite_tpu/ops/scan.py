@@ -76,14 +76,11 @@ def _approx_scores(q, x_scan, row_scale, norms_sq, metric_val: int):
 def _exact_rerank(q, x_f32, cand, cand_masked, metric_val: int, k: int):
     """Exact f32 distances for the shortlist; returns (dists[Q,k], ids[Q,k]).
     ``cand_masked`` marks shortlist slots that were masked/padding — they
-    score BIG so they can never displace an alive candidate."""
-    cvec = x_f32[cand]  # [Q, R, D] f32 row gather
-    if metric_val == int(Metric.EUCLIDEAN):
-        d = jnp.sum((q[:, None, :] - cvec) ** 2, axis=-1)
-    else:
-        d = 1.0 - jnp.einsum(
-            'qd,qrd->qr', q, cvec, preferred_element_type=jnp.float32
-        )
+    score BIG so they can never displace an alive candidate.  On TPU the
+    gather+distance runs as a row-DMA Pallas kernel (`ops/gather.py`)."""
+    from .gather import gather_rerank_dists
+
+    d = gather_rerank_dists(q, x_f32, cand, metric_val)
     d = jnp.where(cand_masked, BIG, d)
     neg, pos = jax.lax.top_k(-d, k)
     return -neg, jnp.take_along_axis(cand, pos, axis=1)

@@ -216,3 +216,45 @@ def test_fused_scan_mask_excludes_rows():
     i_out, d_out = np.asarray(i_out), np.asarray(d_out)
     assert np.all(i_out % 2 == 1)
     assert np.all(d_out < BIG)
+
+
+# ---------------------------------------------------------------------------
+# Gather-rerank (ops/gather.py) — on TPU the row-DMA Pallas kernel, on CPU
+# the jnp reference; both must match numpy exactly-ish.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize('metric', [Metric.COSINE, Metric.EUCLIDEAN])
+def test_gather_rerank_dists_matches_numpy(metric):
+    from annlite_tpu.ops.gather import gather_rerank_dists
+
+    n, d, q, r = 4096, 256, 5, 37
+    x = RNG.normal(size=(n, d)).astype(np.float32)
+    qs = RNG.normal(size=(q, d)).astype(np.float32)
+    cand = RNG.integers(0, n, (q, r)).astype(np.int32)
+    got = np.asarray(
+        gather_rerank_dists(
+            jnp.asarray(qs), jnp.asarray(x), jnp.asarray(cand), int(metric)
+        )
+    )
+    cvec = x[cand]
+    if metric == Metric.EUCLIDEAN:
+        want = np.sum((qs[:, None, :] - cvec) ** 2, axis=-1)
+    else:
+        want = 1.0 - np.einsum('qd,qrd->qr', qs, cvec)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_gather_rerank_clamps_out_of_range():
+    from annlite_tpu.ops.gather import gather_rerank_dists
+
+    n, d = 512, 128
+    x = RNG.normal(size=(n, d)).astype(np.float32)
+    qs = x[:2]
+    cand = np.array([[0, n - 1, n + 50], [1, -3, 2]], dtype=np.int32)
+    got = np.asarray(
+        gather_rerank_dists(jnp.asarray(qs), jnp.asarray(x), jnp.asarray(cand), 1)
+    )
+    clamped = np.clip(cand, 0, n - 1)
+    want = np.sum((qs[:, None, :] - x[clamped]) ** 2, axis=-1)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
