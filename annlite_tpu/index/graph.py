@@ -40,7 +40,7 @@ class GraphIndex(BaseIndex):
         alpha: float = 1.2,
         l_build: int = 64,
         ef_search: int = 64,
-        beam_width: int = 4,
+        beam_width: int = 16,
         pq_codec: Optional[PQCodec] = None,
         rerank: int = 0,
         n_threads: int = 0,

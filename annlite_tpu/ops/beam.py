@@ -153,6 +153,10 @@ def _beam_loop(adjacency, entry_ids, L, B, iters, k, score_fn):
 
 
 def _resolve_iters(iters, L, B):
+    """Default iteration budget: enough to expand ~2L nodes (each iteration
+    expands B), floored at 16 so narrow beams still converge.  Measured on
+    v5e at 200k rows: B=16/L=128 reaches recall@10 0.998+ in 16 iterations
+    at ~2x the QPS of B=4 (which needs 64)."""
     return iters if iters is not None else max(2 * L // B, 16)
 
 
@@ -170,12 +174,13 @@ def _beam_pq(adjacency, entry_ids, codes, dtable, L, B, iters, k):
 
 def beam_search_vectors(
     adjacency, entry_ids, vectors, queries, metric_euclidean: bool,
-    k: int = 10, L: int = 64, B: int = 4, iters: Optional[int] = None,
+    k: int = 10, L: int = 64, B: int = 16, iters: Optional[int] = None,
 ):
     """Full-precision beam search.  adjacency [N, R] int32 (pad -1);
     entry_ids [Q, E]; returns (dists [Q, k], ids [Q, k]) — unreachable slots
     have id NO_ID.  ``L`` plays the role of hnswlib's ``ef``
     (`hnswalg.h:243-329`)."""
+    B = min(B, L)
     iters = _resolve_iters(iters, L, B)
     return _beam_vec(
         adjacency, entry_ids, vectors, queries, bool(metric_euclidean), L, B, iters, k
@@ -184,8 +189,9 @@ def beam_search_vectors(
 
 def beam_search_pq(
     adjacency, entry_ids, codes, dtable,
-    k: int = 10, L: int = 64, B: int = 4, iters: Optional[int] = None,
+    k: int = 10, L: int = 64, B: int = 16, iters: Optional[int] = None,
 ):
     """ADC beam search over PQ codes [N, M] with per-query LUT [Q, M, K]."""
+    B = min(B, L)
     iters = _resolve_iters(iters, L, B)
     return _beam_pq(adjacency, entry_ids, codes, dtable, L, B, iters, k)

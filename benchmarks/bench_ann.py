@@ -179,7 +179,8 @@ def main():
         gt_sub = None
         d_all = None
         for s in range(0, GN, CH):
-            d = np.asarray(exact_batch(qj, jnp.asarray(X[s : s + CH])))
+            # clamp to GN: GT must only rank rows the graph contains
+            d = np.asarray(exact_batch(qj, jnp.asarray(X[s : min(s + CH, GN)])))
             d_all = d if d_all is None else np.concatenate([d_all, d], axis=1)
         gt_sub = np.argsort(d_all, axis=1)[:, :TOPK]
 
