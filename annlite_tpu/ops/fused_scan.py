@@ -46,7 +46,7 @@ def _round_up(x: int, m: int) -> int:
 def _fused_scan_kernel(
     qbf_ref,   # [QP, D]   bf16 (exact int8 values, or bf16 queries)
     qsc_ref,   # [QP, 1]   f32 per-query scale
-    x_ref,     # [BS, D]   int8 | bf16 corpus block
+    x_ref,     # [BS, D]   int8 | bf16 corpus block ([BS, D/2] if packed int4)
     rs_ref,    # [1, BS]   f32 per-row scale
     bias_ref,  # [1, BS]   f32 per-row additive bias (norms + BIG*(1-mask))
     s_out,     # [1, QP, 256] f32 selected scores (top-2 per lane bucket)
@@ -54,12 +54,31 @@ def _fused_scan_kernel(
     *,
     coef: float,
     groups: int,
+    packed: bool,
 ):
-    xb = x_ref[:].astype(jnp.bfloat16)  # [BS, D]
-    acc = jax.lax.dot_general(
-        qbf_ref[:], xb, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [QP, BS]
+    if packed:
+        # nibble-packed int4 (see ops/scan.py quantize_rows_int4): unpack to
+        # two half-width bf16 planes in VMEM; every int4 value is exact in
+        # bf16 so this reproduces the i4 x i8 integer contraction bit-exactly
+        d2 = x_ref.shape[1]
+        x32 = x_ref[:].astype(jnp.int32)
+        lo = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(x32, 28), 28
+        ).astype(jnp.bfloat16)
+        hi = jax.lax.shift_right_arithmetic(x32, 4).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            qbf_ref[:, :d2], lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            qbf_ref[:, d2:], hi, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [QP, BS]
+    else:
+        xb = x_ref[:].astype(jnp.bfloat16)  # [BS, D]
+        acc = jax.lax.dot_general(
+            qbf_ref[:], xb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [QP, BS]
     dots = acc * qsc_ref[:]  # [QP, 1] broadcast
     sel = bias_ref[0][None, :] + coef * (dots * rs_ref[0][None, :])
 
@@ -80,20 +99,23 @@ def _fused_scan_kernel(
     r_out[0, :, 128:] = base + jnp.minimum(g2, groups - 1) * 128 + lane
 
 
-@partial(jax.jit, static_argnums=(5, 6))
-def _fused_scan_pallas(qbf, qsc, x_scan, rs, bias, block_rows: int, coef: float):
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _fused_scan_pallas(qbf, qsc, x_scan, rs, bias, block_rows: int,
+                       coef: float, packed: bool = False):
     qp, d = qbf.shape
-    n = x_scan.shape[0]
+    n, d_store = x_scan.shape
     nb = n // block_rows
     groups = block_rows // 128
-    kernel = partial(_fused_scan_kernel, coef=coef, groups=groups)
+    kernel = partial(
+        _fused_scan_kernel, coef=coef, groups=groups, packed=packed
+    )
     s, r = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((qp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d_store), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
@@ -108,7 +130,8 @@ def _fused_scan_pallas(qbf, qsc, x_scan, rs, bias, block_rows: int, coef: float)
         cost_estimate=pl.CostEstimate(
             flops=2 * qp * n * d,
             bytes_accessed=int(
-                n * d * x_scan.dtype.itemsize + 2 * 4 * n + nb * qp * 256 * 8
+                n * d_store * x_scan.dtype.itemsize + 2 * 4 * n
+                + nb * qp * 256 * 8
             ),
             transcendentals=0,
         ),
@@ -124,16 +147,30 @@ def _fused_scan_pallas(qbf, qsc, x_scan, rs, bias, block_rows: int, coef: float)
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(5, 6))
-def _fused_scan_ref(qbf, qsc, x_scan, rs, bias, block_rows: int, coef: float):
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _fused_scan_ref(qbf, qsc, x_scan, rs, bias, block_rows: int, coef: float,
+                    packed: bool = False):
     qp = qbf.shape[0]
     n = x_scan.shape[0]
     nb = n // block_rows
     groups = block_rows // 128
-    acc = jax.lax.dot_general(
-        qbf, x_scan.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if packed:
+        from .scan import unpack_int4
+
+        d2 = x_scan.shape[1]
+        lo, hi = unpack_int4(x_scan)
+        acc = jax.lax.dot_general(
+            qbf[:, :d2], lo.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            qbf[:, d2:], hi.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        acc = jax.lax.dot_general(
+            qbf, x_scan.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     sel = bias[None, :] + coef * (acc * qsc[:, None] * rs[None, :])
     s4 = sel.reshape(qp, nb, groups, 128)
     giota = jax.lax.broadcasted_iota(jnp.int32, (qp, nb, groups, 128), 2)
@@ -156,10 +193,19 @@ def _fused_scan_ref(qbf, qsc, x_scan, rs, bias, block_rows: int, coef: float):
 # --------------------------------------------------------------------------
 
 
-def supports_fused_scan(n: int, d: int, q: int, block_rows: int = 8192) -> bool:
+def supports_fused_scan(n: int, d: int, q: int, block_rows: int = 8192,
+                        packed_int4: bool = False) -> bool:
     """The fused kernel requires lane-aligned geometry; callers fall back to
-    the unfused scan otherwise."""
-    return n % block_rows == 0 and d % 128 == 0 and q <= 128 and n // block_rows >= 1
+    the unfused scan otherwise.  ``d`` is the LOGICAL dim (the packed int4
+    store holds d/2 bytes per row, which must itself be lane-aligned)."""
+    d_store = d // 2 if packed_int4 else d
+    return (
+        n % block_rows == 0
+        and d % 128 == 0
+        and d_store % 128 == 0
+        and q <= 128
+        and n // block_rows >= 1
+    )
 
 
 def fused_scan_candidates(
@@ -171,9 +217,11 @@ def fused_scan_candidates(
     *,
     block_rows: int = 8192,
     use_pallas: Optional[bool] = None,
+    packed_int4: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Scan ``x_scan`` (int8 [N, D] with ``row_scale``, or bf16) against f32
-    queries ``q [Q, D]`` and return ``(scores[Q, C], rows[Q, C])`` — the
+    """Scan ``x_scan`` (int8 [N, D] with ``row_scale``, bf16, or nibble-
+    packed int4 [N, D/2] with ``packed_int4=True``) against f32 queries
+    ``q [Q, D]`` and return ``(scores[Q, C], rows[Q, C])`` — the
     bucketed top-2 candidate set (C = N/block_rows*256), scores finalized to
     the same values the unfused scan produces (BIG-or-more for masked rows).
 
@@ -196,7 +244,7 @@ def fused_scan_candidates(
         )
     qp = _round_up(max(nq, 1), 8)
 
-    if x_scan.dtype == jnp.int8:
+    if packed_int4 or x_scan.dtype == jnp.int8:
         q8, qsc = quantize_rows_int8_jax(q)
         qbf = q8.astype(jnp.bfloat16)
         rs = row_scale
@@ -214,10 +262,11 @@ def fused_scan_candidates(
     if use_pallas:
         s, r = _fused_scan_pallas(
             qbf, qsc[:, None], x_scan, rs[None, :], bias[None, :],
-            block_rows, coef,
+            block_rows, coef, packed_int4,
         )
     else:
-        s, r = _fused_scan_ref(qbf, qsc, x_scan, rs, bias, block_rows, coef)
+        s, r = _fused_scan_ref(qbf, qsc, x_scan, rs, bias, block_rows, coef,
+                               packed_int4)
     s, r = s[:nq], r[:nq]
     if metric_val == int(Metric.EUCLIDEAN):
         s = s + jnp.sum(q * q, axis=1)[:, None]

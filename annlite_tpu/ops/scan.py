@@ -57,10 +57,60 @@ def quantize_rows_int8_jax(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 _quantize_queries_int8 = quantize_rows_int8_jax
 
 
-def _approx_scores(q, x_scan, row_scale, norms_sq, metric_val: int):
+def quantize_rows_int4(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row symmetric int4 quantization, two values packed per byte.
+
+    Returns ``(packed int8 [N, D/2], scale f32 [N])``: byte ``j`` holds dim
+    ``j`` in its low nibble and dim ``j + D/2`` in its high nibble (split-
+    plane layout — unpacking yields two contiguous half-width matrices, so
+    the scan is two matmuls with the query halves, no interleaving).
+    Codes are in [-7, 7] with ``x ~= codes * scale[:, None]``.
+    """
+    x = np.asarray(x, dtype=np.float32)
+    d = x.shape[-1]
+    if d % 2:
+        raise ValueError('int4 packing requires even dim')
+    scale = np.maximum(np.max(np.abs(x), axis=-1), 1e-30) / 7.0
+    c = np.clip(np.rint(x / scale[..., None]), -7, 7).astype(np.int32)
+    lo, hi = c[..., : d // 2], c[..., d // 2:]
+    packed = ((lo & 0xF) | ((hi & 0xF) << 4)).astype(np.uint8)
+    return packed.view(np.int8), scale.astype(np.float32)
+
+
+@jax.jit
+def quantize_rows_int4_jax(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Device-side variant of :func:`quantize_rows_int4`."""
+    d = x.shape[-1]
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-30) / 7.0
+    c = jnp.clip(jnp.round(x / scale[..., None]), -7, 7).astype(jnp.int32)
+    lo, hi = c[..., : d // 2], c[..., d // 2:]
+    packed = (lo & 0xF) | ((hi & 0xF) << 4)
+    return packed.astype(jnp.uint8).astype(jnp.int8), scale
+
+
+def unpack_int4(packed: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """packed int8 [..., D/2] -> (lo int8, hi int8) sign-extended nibbles."""
+    p32 = packed.astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 28), 28)
+    hi = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(p32, 24), 28
+    )
+    return lo.astype(jnp.int8), hi.astype(jnp.int8)
+
+
+def _approx_scores(q, x_scan, row_scale, norms_sq, metric_val: int,
+                   packed_int4: bool = False):
     """First-pass scores [Q, N] from the quantized corpus. Rank-faithful up
     to quantization noise; NOT returned to callers."""
-    if x_scan.dtype == jnp.int8:
+    if packed_int4:
+        d2 = x_scan.shape[1]
+        q8, q_scale = _quantize_queries_int8(q)
+        lo, hi = unpack_int4(x_scan)
+        acc = jnp.dot(
+            q8[:, :d2], lo.T, preferred_element_type=jnp.int32
+        ) + jnp.dot(q8[:, d2:], hi.T, preferred_element_type=jnp.int32)
+        dots = acc.astype(jnp.float32) * (q_scale[:, None] * row_scale[None, :])
+    elif x_scan.dtype == jnp.int8:
         q8, q_scale = _quantize_queries_int8(q)
         acc = jnp.dot(q8, x_scan.T, preferred_element_type=jnp.int32)
         dots = acc.astype(jnp.float32) * (q_scale[:, None] * row_scale[None, :])
@@ -86,12 +136,14 @@ def _exact_rerank(q, x_f32, cand, cand_masked, metric_val: int, k: int):
     return -neg, jnp.take_along_axis(cand, pos, axis=1)
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7))
+@partial(jax.jit, static_argnums=(5, 6, 7, 9))
 def _scan_rerank_topk(q, x_scan, row_scale, norms_sq, mask, k: int,
-                      rerank: int, metric_val: int, x_f32=None):
+                      rerank: int, metric_val: int, x_f32=None,
+                      packed_int4: bool = False):
     from .topk import topk as _topk
 
-    scores = _approx_scores(q, x_scan, row_scale, norms_sq, metric_val)
+    scores = _approx_scores(q, x_scan, row_scale, norms_sq, metric_val,
+                            packed_int4)
     scores = jnp.where(mask[None, :] > 0, scores, BIG)
     if x_f32 is None:
         return _topk(scores, k, exact=False)
@@ -99,9 +151,10 @@ def _scan_rerank_topk(q, x_scan, row_scale, norms_sq, mask, k: int,
     return _exact_rerank(q, x_f32, cand, cand_s >= BIG, metric_val, k)
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7))
+@partial(jax.jit, static_argnums=(5, 6, 7, 9))
 def _fused_scan_rerank_topk(q, x_scan, row_scale, norms_sq, mask, k: int,
-                            rerank: int, metric_val: int, x_f32=None):
+                            rerank: int, metric_val: int, x_f32=None,
+                            packed_int4: bool = False):
     """Fused-kernel variant: candidate selection happens inside the scan
     kernel (`ops/fused_scan.py`), so the [Q, N] score matrix never reaches
     HBM."""
@@ -111,7 +164,8 @@ def _fused_scan_rerank_topk(q, x_scan, row_scale, norms_sq, mask, k: int,
     bias = jnp.where(mask > 0, 0.0, BIG).astype(jnp.float32)
     if metric_val == int(Metric.EUCLIDEAN):
         bias = bias + norms_sq
-    cs, cr = fused_scan_candidates(q, x_scan, row_scale, bias, metric_val)
+    cs, cr = fused_scan_candidates(q, x_scan, row_scale, bias, metric_val,
+                                   packed_int4=packed_int4)
     if x_f32 is None:
         d, pos = _topk(cs, k, exact=False)
         return d, jnp.take_along_axis(cr, pos, axis=1)
@@ -131,9 +185,11 @@ def scan_topk(
     x_f32: Optional[jax.Array] = None,
     rerank: Optional[int] = None,
     fused: Optional[bool] = None,
+    packed_int4: bool = False,
 ):
     """Quantized scan + exact rerank.  ``x_scan`` is int8 (with
-    ``row_scale``) or bfloat16; ``x_f32`` enables the exact rerank pass
+    ``row_scale``), bfloat16, or nibble-packed int4 (``packed_int4=True``,
+    see :func:`quantize_rows_int4`); ``x_f32`` enables the exact rerank pass
     (skip it to get raw quantized ranking, e.g. when f32 rows are not kept).
     ``norms_sq`` (exact f32 ``|x|^2``) is required for EUCLIDEAN.
 
@@ -142,8 +198,11 @@ def scan_topk(
     from .fused_scan import supports_fused_scan
 
     n = x_scan.shape[0]
+    d_logical = x_scan.shape[1] * (2 if packed_int4 else 1)
     if rerank is None:
-        rerank = max(4 * k, 32)
+        # int4 ranking is noisier: top-128 shortlist measured containment
+        # 1.0 at 1M scale (vs top-40 for int8)
+        rerank = max(4 * k, 128 if packed_int4 else 32)
     rerank = min(rerank, n)
     if row_scale is None:
         row_scale = jnp.ones((n,), jnp.float32)
@@ -154,10 +213,11 @@ def scan_topk(
         # 128-lane bucket, blocks of 8192): the shortlist must fit inside it
         fused = (
             jax.default_backend() == 'tpu'
-            and supports_fused_scan(n, x_scan.shape[1], q.shape[0])
+            and supports_fused_scan(n, d_logical, q.shape[0], packed_int4=packed_int4)
             and max(k, rerank) <= n // 32
         )
     impl = _fused_scan_rerank_topk if fused else _scan_rerank_topk
     return impl(
-        q, x_scan, row_scale, norms_sq, mask, k, rerank, int(metric), x_f32
+        q, x_scan, row_scale, norms_sq, mask, k, rerank, int(metric), x_f32,
+        packed_int4,
     )

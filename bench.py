@@ -105,6 +105,30 @@ def main():
         flat_search, lambda i: (qs[i][:1], x8, xscale, x, ones_mask), carry0
     )
 
+    # int4 packed scan: at batch 1 the scan is memory-bound and the packed
+    # corpus halves HBM traffic (~2x faster single-query serving); at batch
+    # 64 it is MXU/VPU-bound and int8 wins (see index/flat.py docstring)
+    from annlite_tpu.ops.scan import quantize_rows_int4_jax
+
+    log('int4 packed scan (batch-1 serving latency)')
+    x4, x4scale = quantize_rows_int4_jax(x)
+
+    @jax.jit
+    def flat_search4(q, x4, x4scale, x, mask, carry):
+        q = q + carry * 1e-12
+        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        d, i = scan_topk(
+            q, x4, x4scale, None, mask, TOPK, Metric.COSINE, x_f32=x,
+            packed_int4=True,
+        )
+        return d, i, d[0, 0]
+
+    t_b1_int4 = chain_time(
+        flat_search4, lambda i: (qs[i][:1], x4, x4scale, x, ones_mask), carry0
+    )
+    log(f'int4 batch1: {t_b1_int4*1e3:.2f} ms')
+    del x4, x4scale
+
     # filtered search at 5% / 80% selectivity — the predicate bitmask is
     # fused into the scan (same compiled program, different mask values),
     # vs the reference's 8.2 s / 73.6 s at batch 64 (README.md:374-379)
@@ -331,6 +355,7 @@ def main():
         'extras': {
             'flat_batch64_latency_ms': round(t_flat * 1e3, 2),
             'flat_batch1_latency_ms': round(t_b1 * 1e3, 2),
+            'flat_int4_batch1_latency_ms': round(t_b1_int4 * 1e3, 2),
             'flat_recall_at_10_vs_exact': round(flat_recall, 4),
             'flat_f32_singlepass_batch64_latency_ms': round(t_f32 * 1e3, 2),
             'adc_pq64_1M_batch64_qps': round(adc_qps_1m, 1),

@@ -258,3 +258,88 @@ def test_gather_rerank_clamps_out_of_range():
     clamped = np.clip(cand, 0, n - 1)
     want = np.sum((qs[:, None, :] - x[clamped]) ** 2, axis=-1)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# int4 packed scan (ops/scan.py quantize_rows_int4 + fused/unfused paths)
+# ---------------------------------------------------------------------------
+
+
+def test_int4_pack_unpack_roundtrip():
+    import jax.numpy as jnp2
+    from annlite_tpu.ops.scan import quantize_rows_int4, unpack_int4
+
+    x = RNG.normal(size=(64, 256)).astype(np.float32)
+    packed, scale = quantize_rows_int4(x)
+    assert packed.shape == (64, 128) and packed.dtype == np.int8
+    lo, hi = unpack_int4(jnp2.asarray(packed))
+    codes = np.concatenate([np.asarray(lo), np.asarray(hi)], axis=1)
+    assert codes.min() >= -7 and codes.max() <= 7
+    # dequantized rows approximate the originals
+    err = np.abs(codes * scale[:, None] - x).max()
+    assert err <= scale.max() / 2 + 1e-6
+
+
+def test_int4_host_and_jax_quantizers_agree():
+    from annlite_tpu.ops.scan import quantize_rows_int4, quantize_rows_int4_jax
+    import jax.numpy as jnp2
+
+    x = RNG.normal(size=(32, 256)).astype(np.float32)
+    p1, s1 = quantize_rows_int4(x)
+    p2, s2 = quantize_rows_int4_jax(jnp2.asarray(x))
+    # round-half-away (np.rint is banker's; jnp.round too) — same rule
+    np.testing.assert_array_equal(p1, np.asarray(p2))
+    np.testing.assert_allclose(s1, np.asarray(s2), rtol=1e-6)
+
+
+@pytest.mark.parametrize('metric', [Metric.COSINE, Metric.EUCLIDEAN])
+def test_int4_scan_topk_end_to_end(metric):
+    from annlite_tpu.ops.scan import quantize_rows_int4
+
+    n, d, q, k = 8192, 256, 5, 10
+    x = RNG.normal(size=(n, d)).astype(np.float32)
+    if metric == Metric.COSINE:
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+    qs = x[:q]
+    packed, scale = quantize_rows_int4(x)
+    norms = np.sum(x * x, 1).astype(np.float32)
+    d_out, i_out = scan_topk(
+        jnp.asarray(qs), jnp.asarray(packed), jnp.asarray(scale),
+        jnp.asarray(norms), jnp.ones(n, jnp.int8), k, metric,
+        x_f32=jnp.asarray(x), packed_int4=True,
+    )
+    d_out, i_out = np.asarray(d_out), np.asarray(i_out)
+    assert (i_out[:, 0] == np.arange(q)).all()
+    assert (np.diff(d_out, axis=1) >= -1e-5).all()
+    # recall@10 vs exact
+    if metric == Metric.COSINE:
+        gt = np.argsort(1.0 - qs @ x.T, axis=1)[:, :k]
+    else:
+        gt = np.argsort(((qs[:, None] - x[None]) ** 2).sum(-1), axis=1)[:, :k]
+    rec = np.mean([len(set(gt[r]) & set(i_out[r])) / k for r in range(q)])
+    assert rec >= 0.98, rec
+
+
+def test_flat_index_int4_mode():
+    from annlite_tpu.index.flat import FlatIndex
+
+    n, d = 3000, 256
+    x = RNG.normal(size=(n, d)).astype(np.float32)
+    idx = FlatIndex(d, metric=Metric.EUCLIDEAN, scan_mode='int4')
+    idx.add_with_ids(x, np.arange(n))
+    dists, ids = idx.search(x[:4], limit=5)
+    assert (ids[:, 0] == np.arange(4)).all()
+    assert (dists[:, 0] < 1e-5).all()
+    # snapshot roundtrip keeps the packed store consistent
+    st = idx.state_arrays()
+    idx2 = FlatIndex(d, metric=Metric.EUCLIDEAN, scan_mode='int4')
+    idx2.load_state_arrays(st)
+    d2, i2 = idx2.search(x[:4], limit=5)
+    np.testing.assert_array_equal(ids, i2)
+
+
+def test_flat_index_int4_requires_even_dim():
+    from annlite_tpu.index.flat import FlatIndex
+
+    with pytest.raises(ValueError):
+        FlatIndex(65, scan_mode='int4')
