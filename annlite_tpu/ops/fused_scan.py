@@ -43,19 +43,8 @@ def _round_up(x: int, m: int) -> int:
 # --------------------------------------------------------------------------
 
 
-def _fused_scan_kernel(
-    qbf_ref,   # [QP, D]   bf16 (exact int8 values, or bf16 queries)
-    qsc_ref,   # [QP, 1]   f32 per-query scale
-    x_ref,     # [BS, D]   int8 | bf16 corpus block ([BS, D/2] if packed int4)
-    rs_ref,    # [1, BS]   f32 per-row scale
-    bias_ref,  # [1, BS]   f32 per-row additive bias (norms + BIG*(1-mask))
-    s_out,     # [1, QP, 256] f32 selected scores (top-2 per lane bucket)
-    r_out,     # [1, QP, 256] i32 selected global rows
-    *,
-    coef: float,
-    groups: int,
-    packed: bool,
-):
+def _block_scores(qbf_ref, qsc_ref, x_ref, rs_ref, bias_ref, coef, packed):
+    """Shared per-block score computation -> sel [QP, BS] f32."""
     if packed:
         # nibble-packed int4 (see ops/scan.py quantize_rows_int4): unpack to
         # two half-width bf16 planes in VMEM; every int4 value is exact in
@@ -80,8 +69,13 @@ def _fused_scan_kernel(
             preferred_element_type=jnp.float32,
         )  # [QP, BS]
     dots = acc * qsc_ref[:]  # [QP, 1] broadcast
-    sel = bias_ref[0][None, :] + coef * (dots * rs_ref[0][None, :])
+    return bias_ref[0][None, :] + coef * (dots * rs_ref[0][None, :])
 
+
+def _block_top2(sel, groups):
+    """Bucketed top-2 of a block: per (query, lane) keep the best two of the
+    ``groups`` strided rows.  Returns (mn1, mn2, row1, row2), each [QP, 128]
+    (rows are block-local)."""
     qp = sel.shape[0]
     s3 = sel.reshape(qp, groups, 128)
     giota = jax.lax.broadcasted_iota(jnp.int32, (qp, groups, 128), 1)
@@ -90,13 +84,82 @@ def _fused_scan_kernel(
     s3m = jnp.where(giota == g1[:, None, :], jnp.inf, s3)
     mn2 = jnp.min(s3m, axis=1)
     g2 = jnp.min(jnp.where(s3m <= mn2[:, None, :], giota, groups), axis=1)
-
-    base = pl.program_id(0) * (groups * 128)
     lane = jax.lax.broadcasted_iota(jnp.int32, (qp, 128), 1)
+    row1 = g1 * 128 + lane
+    row2 = jnp.minimum(g2, groups - 1) * 128 + lane
+    return mn1, mn2, row1, row2
+
+
+def _fused_scan_kernel(
+    qbf_ref,   # [QP, D]   bf16 (exact int8 values, or bf16 queries)
+    qsc_ref,   # [QP, 1]   f32 per-query scale
+    x_ref,     # [BS, D]   int8 | bf16 corpus block ([BS, D/2] if packed int4)
+    rs_ref,    # [1, BS]   f32 per-row scale
+    bias_ref,  # [1, BS]   f32 per-row additive bias (norms + BIG*(1-mask))
+    s_out,     # [1, QP, 256] f32 selected scores (top-2 per lane bucket)
+    r_out,     # [1, QP, 256] i32 selected global rows
+    *,
+    coef: float,
+    groups: int,
+    packed: bool,
+):
+    sel = _block_scores(qbf_ref, qsc_ref, x_ref, rs_ref, bias_ref, coef, packed)
+    mn1, mn2, row1, row2 = _block_top2(sel, groups)
+    base = pl.program_id(0) * (groups * 128)
     s_out[0, :, :128] = mn1
     s_out[0, :, 128:] = mn2
-    r_out[0, :, :128] = base + g1 * 128 + lane
-    r_out[0, :, 128:] = base + jnp.minimum(g2, groups - 1) * 128 + lane
+    r_out[0, :, :128] = base + row1
+    r_out[0, :, 128:] = base + row2
+
+
+def _fused_scan8_kernel(
+    qbf_ref, qsc_ref, x_ref, rs_ref, bias_ref,
+    s_out,     # [QP, 1024] f32: running top-8 per lane class (whole grid)
+    r_out,     # [QP, 1024] i32
+    s_scr,     # [8, QP, 128] f32 scratch: sorted stack, s_scr[0] smallest
+    r_scr,     # [8, QP, 128] i32
+    *,
+    coef: float,
+    groups: int,
+    packed: bool,
+):
+    """Deep-select variant: the grid keeps a RUNNING sorted top-8 per
+    (query, lane-class) in VMEM scratch, merged via a compare-exchange
+    cascade each step — the whole first-pass top-k finishes inside the
+    kernel, so the caller's reduction shrinks from N/32 candidates to 1024
+    (the standalone ``approx_min_k`` over [Q, N/32] costs as much as the
+    scan itself; this removes it)."""
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(8):
+            s_scr[k] = jnp.full(s_scr.shape[1:], jnp.inf, jnp.float32)
+            r_scr[k] = jnp.zeros(r_scr.shape[1:], jnp.int32)
+
+    sel = _block_scores(qbf_ref, qsc_ref, x_ref, rs_ref, bias_ref, coef, packed)
+    mn1, mn2, row1, row2 = _block_top2(sel, groups)
+    base = i * (groups * 128)
+
+    # insert (mn1 <= mn2) into the sorted stack; two bubble cascades.  Each
+    # compare-exchange is a handful of VPU ops on [QP, 128] tiles — ~100 ops
+    # per grid step, negligible next to the matmul.
+    for new_s, new_r in ((mn1, base + row1), (mn2, base + row2)):
+        cur_s, cur_r = new_s, new_r
+        for k in range(8):
+            sk, rk = s_scr[k], r_scr[k]
+            take = cur_s < sk
+            s_scr[k] = jnp.where(take, cur_s, sk)
+            r_scr[k] = jnp.where(take, cur_r, rk)
+            cur_s = jnp.where(take, sk, cur_s)
+            cur_r = jnp.where(take, rk, cur_r)
+
+    @pl.when(i == nb - 1)
+    def _():
+        for k in range(8):
+            s_out[:, 128 * k:128 * (k + 1)] = s_scr[k]
+            r_out[:, 128 * k:128 * (k + 1)] = r_scr[k]
 
 
 @partial(jax.jit, static_argnums=(5, 6, 7))
@@ -140,6 +203,52 @@ def _fused_scan_pallas(qbf, qsc, x_scan, rs, bias, block_rows: int,
     return s.transpose(1, 0, 2).reshape(qp, nb * 256), r.transpose(1, 0, 2).reshape(
         qp, nb * 256
     )
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _fused_scan8_pallas(qbf, qsc, x_scan, rs, bias, block_rows: int,
+                        coef: float, packed: bool = False):
+    qp, d = qbf.shape
+    n, d_store = x_scan.shape
+    nb = n // block_rows
+    groups = block_rows // 128
+    kernel = partial(
+        _fused_scan8_kernel, coef=coef, groups=groups, packed=packed
+    )
+    s, r = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d_store), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qp, 1024), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp, 1024), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, 1024), jnp.float32),
+            jax.ShapeDtypeStruct((qp, 1024), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, qp, 128), jnp.float32),
+            pltpu.VMEM((8, qp, 128), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',),  # running scratch across steps
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * n * d,
+            bytes_accessed=int(
+                n * d_store * x_scan.dtype.itemsize + 2 * 4 * n + qp * 1024 * 8
+            ),
+            transcendentals=0,
+        ),
+    )(qbf, qsc, x_scan, rs, bias)
+    return s, r
 
 
 # --------------------------------------------------------------------------
@@ -188,6 +297,21 @@ def _fused_scan_ref(qbf, qsc, x_scan, rs, bias, block_rows: int, coef: float,
     return s, r
 
 
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _fused_scan8_ref(qbf, qsc, x_scan, rs, bias, block_rows: int, coef: float,
+                     packed: bool = False):
+    """Reference for the deep-select kernel: block-bucketed top-2, then the
+    per-lane-class top-8 of the forwarded candidates."""
+    s, r = _fused_scan_ref(qbf, qsc, x_scan, rs, bias, block_rows, coef, packed)
+    qp, c = s.shape
+    s3 = s.reshape(qp, c // 128, 128)
+    r3 = r.reshape(qp, c // 128, 128)
+    order = jnp.argsort(s3, axis=1)[:, :8]
+    s8 = jnp.take_along_axis(s3, order, axis=1)  # [QP, 8, 128]
+    r8 = jnp.take_along_axis(r3, order, axis=1)
+    return s8.reshape(qp, 1024), r8.reshape(qp, 1024)
+
+
 # --------------------------------------------------------------------------
 # Public wrapper
 # --------------------------------------------------------------------------
@@ -218,12 +342,18 @@ def fused_scan_candidates(
     block_rows: int = 8192,
     use_pallas: Optional[bool] = None,
     packed_int4: bool = False,
+    select: str = 'block2',
 ) -> Tuple[jax.Array, jax.Array]:
     """Scan ``x_scan`` (int8 [N, D] with ``row_scale``, bf16, or nibble-
     packed int4 [N, D/2] with ``packed_int4=True``) against f32 queries
-    ``q [Q, D]`` and return ``(scores[Q, C], rows[Q, C])`` — the
-    bucketed top-2 candidate set (C = N/block_rows*256), scores finalized to
-    the same values the unfused scan produces (BIG-or-more for masked rows).
+    ``q [Q, D]`` and return ``(scores[Q, C], rows[Q, C])``, scores finalized
+    to the same values the unfused scan produces (BIG-or-more for masked
+    rows).
+
+    ``select``: 'block2' emits the bucketed top-2 per block
+    (C = N/block_rows*256); 'lane8' additionally keeps a running top-8 per
+    lane class inside the kernel (C = 1024) — at large N this removes the
+    expensive [Q, N/32] host-side reduction (requires N >= 4*block_rows).
 
     ``bias`` is f32 [N]: ``BIG*(1-mask)`` for IP/cosine, ``norms_sq +
     BIG*(1-mask)`` for L2.  The |q|^2 term of L2 is added here, outside the
@@ -258,15 +388,21 @@ def fused_scan_candidates(
         qbf = jnp.pad(qbf, ((0, qp - nq), (0, 0)))
         qsc = jnp.pad(qsc, (0, qp - nq), constant_values=1.0)
 
+    if select not in ('block2', 'lane8'):
+        raise ValueError(f'unknown select: {select!r}')
+    if select == 'lane8' and n < 4 * block_rows:
+        raise ValueError('lane8 selection requires N >= 4*block_rows')
     coef = -2.0 if metric_val == int(Metric.EUCLIDEAN) else -1.0
     if use_pallas:
-        s, r = _fused_scan_pallas(
+        impl = _fused_scan8_pallas if select == 'lane8' else _fused_scan_pallas
+        s, r = impl(
             qbf, qsc[:, None], x_scan, rs[None, :], bias[None, :],
             block_rows, coef, packed_int4,
         )
     else:
-        s, r = _fused_scan_ref(qbf, qsc, x_scan, rs, bias, block_rows, coef,
-                               packed_int4)
+        impl = _fused_scan8_ref if select == 'lane8' else _fused_scan_ref
+        s, r = impl(qbf, qsc, x_scan, rs, bias, block_rows, coef,
+                    packed_int4)
     s, r = s[:nq], r[:nq]
     if metric_val == int(Metric.EUCLIDEAN):
         s = s + jnp.sum(q * q, axis=1)[:, None]

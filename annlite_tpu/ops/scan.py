@@ -157,19 +157,26 @@ def _fused_scan_rerank_topk(q, x_scan, row_scale, norms_sq, mask, k: int,
                             packed_int4: bool = False):
     """Fused-kernel variant: candidate selection happens inside the scan
     kernel (`ops/fused_scan.py`), so the [Q, N] score matrix never reaches
-    HBM."""
+    HBM.  At large N the kernel also finishes the first-pass top-k itself
+    ('lane8' running selection -> 1024 candidates), replacing the
+    surprisingly expensive ``approx_min_k`` over [Q, N/32] (measured 0.7 ms
+    standalone at N=2^20 — comparable to the whole scan) with a cheap exact
+    sort of [Q, 1024]."""
     from .fused_scan import fused_scan_candidates
     from .topk import topk as _topk
 
     bias = jnp.where(mask > 0, 0.0, BIG).astype(jnp.float32)
     if metric_val == int(Metric.EUCLIDEAN):
         bias = bias + norms_sq
+    n = x_scan.shape[0]
+    deep = n >= 4 * 8192 and max(k, rerank) <= 1024
     cs, cr = fused_scan_candidates(q, x_scan, row_scale, bias, metric_val,
-                                   packed_int4=packed_int4)
+                                   packed_int4=packed_int4,
+                                   select='lane8' if deep else 'block2')
     if x_f32 is None:
-        d, pos = _topk(cs, k, exact=False)
+        d, pos = _topk(cs, k, exact=deep)
         return d, jnp.take_along_axis(cr, pos, axis=1)
-    cand_s, pos = _topk(cs, rerank, exact=False)
+    cand_s, pos = _topk(cs, rerank, exact=deep)
     cand = jnp.take_along_axis(cr, pos, axis=1)
     return _exact_rerank(q, x_f32, cand, cand_s >= BIG, metric_val, k)
 

@@ -343,3 +343,64 @@ def test_flat_index_int4_requires_even_dim():
 
     with pytest.raises(ValueError):
         FlatIndex(65, scan_mode='int4')
+
+
+# ---------------------------------------------------------------------------
+# Deep (lane8) in-kernel selection
+# ---------------------------------------------------------------------------
+
+
+def test_lane8_candidates_contain_topk_and_match_scores():
+    from annlite_tpu.ops.fused_scan import fused_scan_candidates
+    from annlite_tpu.ops.scan import _approx_scores
+
+    n, d, q, k = 65536, 128, 4, 10
+    x = RNG.normal(size=(n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    qs = x[:q].copy()
+    codes, scale = quantize_rows_int8(x)
+    cs, cr = fused_scan_candidates(
+        jnp.asarray(qs), jnp.asarray(codes), jnp.asarray(scale),
+        jnp.zeros(n, jnp.float32), int(Metric.COSINE), select='lane8',
+    )
+    cs, cr = np.asarray(cs), np.asarray(cr)
+    assert cs.shape == (q, 1024)
+    full = np.asarray(
+        _approx_scores(
+            jnp.asarray(qs), jnp.asarray(codes), jnp.asarray(scale),
+            jnp.zeros(n, np.float32), int(Metric.COSINE),
+        )
+    )
+    for r in range(q):
+        np.testing.assert_allclose(cs[r], full[r, cr[r]], rtol=1e-5, atol=1e-4)
+    gt = np.argsort(full, axis=1)[:, :k]
+    for r in range(q):
+        assert set(gt[r]) <= set(cr[r].tolist())
+
+
+def test_lane8_end_to_end_scan_topk():
+    n, d, q, k = 65536, 128, 3, 10
+    x = RNG.normal(size=(n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    qs = x[:q]
+    codes, scale = quantize_rows_int8(x)
+    d_out, i_out = scan_topk(
+        jnp.asarray(qs), jnp.asarray(codes), jnp.asarray(scale), None,
+        jnp.ones(n, jnp.int8), k, Metric.COSINE, x_f32=jnp.asarray(x),
+        fused=True,
+    )
+    i_out = np.asarray(i_out)
+    gt = np.argsort(1.0 - qs @ x.T, axis=1)[:, :k]
+    for r in range(q):
+        assert set(i_out[r]) == set(gt[r])
+
+
+def test_lane8_requires_enough_blocks():
+    from annlite_tpu.ops.fused_scan import fused_scan_candidates
+
+    with pytest.raises(ValueError):
+        fused_scan_candidates(
+            jnp.zeros((2, 128), jnp.float32), jnp.zeros((8192, 128), jnp.int8),
+            jnp.ones(8192, jnp.float32), jnp.zeros(8192, jnp.float32),
+            int(Metric.COSINE), select='lane8',
+        )
