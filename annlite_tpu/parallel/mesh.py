@@ -123,12 +123,17 @@ def sharded_scan_topk(mesh: Mesh, q, x_scan, row_scale, norms_sq, mask,
             and supports_fused_scan(xs.shape[0], xs.shape[1], q.shape[0])
             and r <= xs.shape[0] // 32
         ):
-            # fused Pallas scan+select per shard (see ops/fused_scan.py)
+            # fused Pallas scan+select per shard (see ops/fused_scan.py);
+            # large shards finish the first-pass top-k in-kernel (lane8)
             bias = jnp.where(mk > 0, 0.0, BIG).astype(jnp.float32)
             if int(metric) == int(Metric.EUCLIDEAN):
                 bias = bias + ns
-            cs, cr = fused_scan_candidates(q, xs, rs, bias, int(metric))
-            cand_s, pos = _topk(cs, r, exact=False)
+            deep = xs.shape[0] >= 4 * 8192 and r <= 1024
+            cs, cr = fused_scan_candidates(
+                q, xs, rs, bias, int(metric),
+                select='lane8' if deep else 'block2',
+            )
+            cand_s, pos = _topk(cs, r, exact=deep)
             cand = jnp.take_along_axis(cr, pos, axis=1)
         else:
             scores = _approx_scores(q, xs, rs, ns, int(metric))
