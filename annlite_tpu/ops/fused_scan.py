@@ -141,11 +141,21 @@ def _fused_scan8_kernel(
     sel = _block_scores(qbf_ref, qsc_ref, x_ref, rs_ref, bias_ref, coef, packed)
     mn1, mn2, row1, row2 = _block_top2(sel, groups)
     base = i * (groups * 128)
+    merge_top8(s_scr, r_scr, ((mn1, base + row1), (mn2, base + row2)))
 
-    # insert (mn1 <= mn2) into the sorted stack; two bubble cascades.  Each
-    # compare-exchange is a handful of VPU ops on [QP, 128] tiles — ~100 ops
-    # per grid step, negligible next to the matmul.
-    for new_s, new_r in ((mn1, base + row1), (mn2, base + row2)):
+    @pl.when(i == nb - 1)
+    def _():
+        for k in range(8):
+            s_out[:, 128 * k:128 * (k + 1)] = s_scr[k]
+            r_out[:, 128 * k:128 * (k + 1)] = r_scr[k]
+
+
+def merge_top8(s_scr, r_scr, pairs):
+    """Insert (score, row) tile pairs (ascending score order) into the sorted
+    8-slot running stack held in scratch (``s_scr[0]`` smallest).  Each
+    compare-exchange is a handful of VPU ops on [QP, 128] tiles — ~100 ops
+    per grid step, negligible next to the scoring matmul."""
+    for new_s, new_r in pairs:
         cur_s, cur_r = new_s, new_r
         for k in range(8):
             sk, rk = s_scr[k], r_scr[k]
@@ -154,12 +164,6 @@ def _fused_scan8_kernel(
             r_scr[k] = jnp.where(take, cur_r, rk)
             cur_s = jnp.where(take, sk, cur_s)
             cur_r = jnp.where(take, rk, cur_r)
-
-    @pl.when(i == nb - 1)
-    def _():
-        for k in range(8):
-            s_out[:, 128 * k:128 * (k + 1)] = s_scr[k]
-            r_out[:, 128 * k:128 * (k + 1)] = r_scr[k]
 
 
 @partial(jax.jit, static_argnums=(5, 6, 7))

@@ -75,6 +75,124 @@ def _ivf_scan_pallas(block_ids, dtable, codes_blocks, mask_blocks, n_sub, k):
     return jnp.where(keep[None, :, :], scores, BIG)
 
 
+def _ivf_kernel8(
+    ids_ref,     # [S] i32 scalar prefetch: selected block ids (clamped >= 0)
+    val_ref,     # [S] i32 scalar prefetch: 1 = real selection, 0 = padding
+    dtable_ref,  # [QP, M, K] bf16
+    codes_ref,   # [1, M, BS] u8
+    bias_ref,    # [1, G, 128] f32: BIG*(1-mask) for the block's slots
+    s_out,       # [QP, G8] f32 running top-8 per lane class
+    r_out,       # [QP, G8] i32 provenance: sel_idx*BS + slot
+    s_scr,       # [8, QP, 128] f32
+    r_scr,       # [8, QP, 128] i32
+    *,
+    n_sub: int,
+    k: int,
+):
+    """Deep-select IVF scan: same one-hot ADC scoring as `_ivf_kernel`, but
+    the probed-block top-k finishes in-kernel (running top-8 per lane class,
+    see `ops/fused_scan.py` `merge_top8`) — the [Q, S*BS] score tensor and
+    the expensive resident approx_min_k over it never exist."""
+    from .fused_scan import merge_top8
+
+    j = pl.program_id(0)
+    ns = pl.num_programs(0)
+
+    @pl.when(j == 0)
+    def _():
+        for t in range(8):
+            s_scr[t] = jnp.full(s_scr.shape[1:], BIG, jnp.float32)
+            r_scr[t] = jnp.zeros(r_scr.shape[1:], jnp.int32)
+
+    codes = codes_ref[0].astype(jnp.int32)  # [M, BS]
+    bs = codes.shape[1]
+    bq = dtable_ref.shape[0]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, bs), 0)
+    acc = jnp.zeros((bq, bs), dtype=jnp.float32)
+    for m in range(n_sub):
+        onehot = (codes[m][None, :] == iota_k).astype(dtable_ref.dtype)
+        acc = acc + jnp.dot(
+            dtable_ref[:, m, :], onehot, preferred_element_type=jnp.float32
+        )
+    groups = bs // 128
+    sel = acc.reshape(bq, groups, 128) + bias_ref[0][None, :, :]
+    sel = sel + jnp.where(val_ref[j] > 0, 0.0, BIG)
+
+    giota = jax.lax.broadcasted_iota(jnp.int32, (bq, groups, 128), 1)
+    mn1 = jnp.min(sel, axis=1)
+    g1 = jnp.min(jnp.where(sel <= mn1[:, None, :], giota, groups), axis=1)
+    selm = jnp.where(giota == g1[:, None, :], jnp.inf, sel)
+    mn2 = jnp.min(selm, axis=1)
+    g2 = jnp.min(jnp.where(selm <= mn2[:, None, :], giota, groups), axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bq, 128), 1)
+    base = j * bs
+    merge_top8(
+        s_scr, r_scr,
+        ((mn1, base + g1 * 128 + lane),
+         (mn2, base + jnp.minimum(g2, groups - 1) * 128 + lane)),
+    )
+
+    @pl.when(j == ns - 1)
+    def _():
+        for t in range(8):
+            s_out[:, 128 * t:128 * (t + 1)] = s_scr[t]
+            r_out[:, 128 * t:128 * (t + 1)] = r_scr[t]
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _ivf_scan8_pallas(block_ids, dtable, codes_blocks, mask_blocks, n_sub, kk):
+    n_sel = block_ids.shape[0]
+    qp = dtable.shape[0]
+    bs = codes_blocks.shape[2]
+    groups = bs // 128
+    safe_ids = jnp.maximum(block_ids, 0)
+    valid = (block_ids >= 0).astype(jnp.int32)
+    bias3 = jnp.where(
+        mask_blocks.reshape(-1, groups, 128) > 0, 0.0, BIG
+    ).astype(jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_sel,),
+        in_specs=[
+            pl.BlockSpec((qp, n_sub, kk), lambda j, ids, val: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_sub, bs), lambda j, ids, val: (ids[j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, groups, 128), lambda j, ids, val: (ids[j], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qp, 1024), lambda j, ids, val: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp, 1024), lambda j, ids, val: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, qp, 128), jnp.float32),
+            pltpu.VMEM((8, qp, 128), jnp.int32),
+        ],
+    )
+    s, r = pl.pallas_call(
+        partial(_ivf_kernel8, n_sub=n_sub, k=kk),
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, 1024), jnp.float32),
+            jax.ShapeDtypeStruct((qp, 1024), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * n_sel * bs * n_sub * kk,
+            bytes_accessed=int(
+                n_sel * n_sub * bs + dtable.size * dtable.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+    )(safe_ids, valid, dtable, codes_blocks, bias3)
+    return s, r
+
+
 @jax.jit
 def _ivf_scan_ref(block_ids, dtable, codes_blocks, mask_blocks):
     """jnp reference / CPU fallback."""
@@ -112,12 +230,27 @@ def ivf_scan_topk(
     if use_pallas is None:
         use_pallas = jax.default_backend() == 'tpu'
     n_sub, kk = dtable.shape[1], dtable.shape[2]
+    n_sel = block_ids.shape[0]
+    bs = codes_blocks.shape[2]
     if use_pallas:
         q0 = dtable.shape[0]
         qp = -(-q0 // 8) * 8  # sublane-align the query axis
         dt = dtable.astype(jnp.bfloat16)
         if qp != q0:
             dt = jnp.pad(dt, ((0, qp - q0), (0, 0), (0, 0)))
+        if n_sel >= 16 and k <= 1024 and bs % 128 == 0:
+            # deep select: the probed-block top-k finishes in-kernel; the
+            # [Q, S*BS] resident score tensor (and the slow approx_min_k
+            # over it) never materializes
+            s8, r8 = _ivf_scan8_pallas(
+                block_ids, dt, codes_blocks, mask_blocks, n_sub, kk
+            )
+            s8, r8 = s8[:q0], r8[:q0]
+            neg, pos8 = jax.lax.top_k(-s8, min(k, 1024))
+            prov = jnp.take_along_axis(r8, pos8, axis=1)
+            sel_block = jnp.maximum(block_ids, 0)[prov // bs]
+            rows = row_map[sel_block, prov % bs]
+            return -neg, rows
         scores = _ivf_scan_pallas(
             block_ids, dt, codes_blocks, mask_blocks, n_sub, kk
         )[:q0]

@@ -150,3 +150,35 @@ def test_ivf_pq_index_via_facade(tmp_index_path, rng):
     _, ids = b.search_numpy(-x[5:6], limit=3)
     assert ids[0][0] == 'doc1'
     b.close()
+
+
+def test_ivf_deep_select_matches_standard(rng):
+    """The in-kernel deep-select path (n_sel >= 16, TPU) must return the
+    same top-k rows as the standard scan+reduce path.  On CPU this
+    exercises only the standard path (deep requires the Pallas kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    m, bs, k = 8, 128 * 8, 50
+    bc = BlockedCodes(n_subvectors=m, block_size=bs)
+    n = 40_000
+    codes = rng.integers(0, 16, (n, m)).astype(np.uint8)
+    cells = rng.integers(0, 32, n)
+    bc.append(codes, cells, np.arange(n))
+    sel = bc.select_blocks(np.arange(20))  # >= 16 blocks -> deep on TPU
+    q = 6
+    dtable = rng.uniform(0, 10, (q, m, 16)).astype(np.float32)
+    cb, mb, rm = (jnp.asarray(bc.codes), jnp.asarray(bc.mask),
+                  jnp.asarray(bc.row_map))
+    d_auto, r_auto = ivf_scan_topk(
+        jnp.asarray(sel), jnp.asarray(dtable), cb, mb, rm, k)
+    d_ref, r_ref = ivf_scan_topk(
+        jnp.asarray(sel), jnp.asarray(dtable), cb, mb, rm, k,
+        use_pallas=False, exact=True)
+    d_auto, r_auto = np.asarray(d_auto), np.asarray(r_auto)
+    d_ref, r_ref = np.asarray(d_ref), np.asarray(r_ref)
+    np.testing.assert_allclose(d_auto, d_ref, rtol=1e-2, atol=1e-2)
+    for i in range(q):
+        # row sets agree wherever scores are strictly below the tie tail
+        cut = np.searchsorted(d_ref[i], d_ref[i][-1] - 1e-3)
+        assert set(r_auto[i][:cut]) <= set(r_ref[i].tolist())
