@@ -24,8 +24,7 @@ import numpy as np
 from ..codecs import PQCodec
 from ..enums import Metric
 from ..math import l2_normalize
-from ..ops.adc import BIG, adc_scores
-from ..ops.topk import topk
+from ..ops.adc import BIG, adc_topk
 from .base import BaseIndex
 from .buffer import DeviceBuffer
 
@@ -114,16 +113,18 @@ class PQScanIndex(BaseIndex):
         else:
             m[: self.size] = np.asarray(mask[: self.size], dtype=np.int8)
         k = min(limit, max(self.size, 1))
-        scores = adc_scores(dtable, codes_t, jnp.asarray(m))
+        mj = jnp.asarray(m)
         if self.rerank > 0:
-            r = min(max(self.rerank, k), scores.shape[1])
-            adc_d, cand = topk(scores, r, exact=self.exact_topk)
+            r = min(max(self.rerank, k), n_pad)
+            # adc_topk finishes the top-k inside the ADC kernel at large N
+            # (deep select) — the [Q, N] score matrix stays on-chip
+            adc_d, cand = adc_topk(dtable, codes_t, r, mj, exact=self.exact_topk)
             vecs = self._vectors.device_view()
             d, idx = _rerank(
                 jnp.asarray(query), cand, adc_d, vecs, k, int(self.metric)
             )
         else:
-            d, idx = topk(scores, k, exact=self.exact_topk)
+            d, idx = adc_topk(dtable, codes_t, k, mj, exact=self.exact_topk)
         return np.asarray(d), np.asarray(idx)
 
     def reset(self):

@@ -155,6 +155,104 @@ def adc_scores(
     return scores[:q, :n]
 
 
+def _adc_kernel8(dtable_ref, codes_ref, mask_ref, s_out, r_out, s_scr, r_scr,
+                 *, n_sub: int, k: int):
+    """Deep-select ADC: the [Q, N] score matrix never reaches HBM — a
+    running top-8 per (query, lane-class) lives in VMEM scratch across the
+    n-block sweep (grid dim 1, fastest-varying) and is re-initialized at the
+    start of each query-block sweep.  See `ops/fused_scan.py` lane8."""
+    from .fused_scan import merge_top8
+
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        for t in range(8):
+            s_scr[t] = jnp.full(s_scr.shape[1:], BIG, jnp.float32)
+            r_scr[t] = jnp.zeros(r_scr.shape[1:], jnp.int32)
+
+    codes = codes_ref[:].astype(jnp.int32)  # [M, BN]
+    bn = codes.shape[1]
+    bq = dtable_ref.shape[0]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, bn), 0)
+    acc = jnp.zeros((bq, bn), dtype=jnp.float32)
+    for m in range(n_sub):
+        onehot = (codes[m][None, :] == iota_k).astype(dtable_ref.dtype)
+        acc = acc + jnp.dot(
+            dtable_ref[:, m, :], onehot, preferred_element_type=jnp.float32
+        )
+    mask = mask_ref[:].astype(jnp.int32)
+    sel = jnp.where(mask > 0, acc, jnp.full_like(acc, BIG))
+
+    groups = bn // 128
+    s3 = sel.reshape(bq, groups, 128)
+    giota = jax.lax.broadcasted_iota(jnp.int32, (bq, groups, 128), 1)
+    mn1 = jnp.min(s3, axis=1)
+    g1 = jnp.min(jnp.where(s3 <= mn1[:, None, :], giota, groups), axis=1)
+    s3m = jnp.where(giota == g1[:, None, :], jnp.inf, s3)
+    mn2 = jnp.min(s3m, axis=1)
+    g2 = jnp.min(jnp.where(s3m <= mn2[:, None, :], giota, groups), axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bq, 128), 1)
+    base = j * bn
+    merge_top8(
+        s_scr, r_scr,
+        ((mn1, base + g1 * 128 + lane),
+         (mn2, base + jnp.minimum(g2, groups - 1) * 128 + lane)),
+    )
+
+    @pl.when(j == nj - 1)
+    def _():
+        for t in range(8):
+            s_out[:, 128 * t:128 * (t + 1)] = s_scr[t]
+            r_out[:, 128 * t:128 * (t + 1)] = r_scr[t]
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _adc_topk8_pallas(dtable, codes_t, mask, block_q: int, block_n: int):
+    q, m, k = dtable.shape
+    n = codes_t.shape[1]
+    grid = (q // block_q, n // block_n)
+    return pl.pallas_call(
+        partial(_adc_kernel8, n_sub=m, k=k),
+        out_shape=[
+            jax.ShapeDtypeStruct((q, 1024), jnp.float32),
+            jax.ShapeDtypeStruct((q, 1024), jnp.int32),
+        ],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (block_q, m, k), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((m, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (block_q, 1024), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_q, 1024), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, block_q, 128), jnp.float32),
+            pltpu.VMEM((8, block_q, 128), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary'),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * n * m * k,
+            bytes_accessed=int(
+                dtable.size * dtable.dtype.itemsize + codes_t.size
+                + q * 1024 * 8
+            ),
+            transcendentals=0,
+        ),
+    )(dtable, codes_t, mask)
+
+
 # --------------------------------------------------------------------------
 # Top-k over ADC scores
 # --------------------------------------------------------------------------
@@ -172,10 +270,40 @@ def adc_topk(
 ):
     """Score + top-k: returns ``(dists[Q, k], indices[Q, k])`` ascending.
 
-    Default reduction is refined approx_min_k (see `ops/topk.py`) — exact
-    ``lax.top_k`` costs ~30x more at the 1M scale.
+    On TPU at large N with ``k <= 1024`` the top-k finishes inside the ADC
+    kernel (deep select, see `_adc_kernel8`) — the [Q, N] score matrix stays
+    on-chip.  Otherwise: scores to HBM + refined approx_min_k
+    (see `ops/topk.py`; exact ``lax.top_k`` costs ~30x more at 1M scale).
     """
     from .topk import topk
+
+    use_pallas = kw.get('use_pallas')
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
+    q, m, kk = dtable.shape
+    n = codes_t.shape[1]
+    block_q = kw.get('block_q', 64)
+    block_n = kw.get('block_n', 4096)
+    if (
+        use_pallas
+        and not exact
+        and k <= 1024
+        and n % block_n == 0
+        and n >= 4 * block_n
+    ):
+        bq = min(block_q, _round_up(q, 8))
+        qp = _round_up(q, bq)
+        dt = dtable.astype(kw.get('compute_dtype', jnp.bfloat16))
+        if qp != q:
+            dt = jnp.pad(dt, ((0, qp - q), (0, 0), (0, 0)))
+        if mask is None:
+            mask_row = jnp.ones((1, n), dtype=jnp.int8)
+        else:
+            mask_row = mask.astype(jnp.int8)[None, :]
+        s, r = _adc_topk8_pallas(dt, codes_t, mask_row, bq, block_n)
+        s, r = s[:q], r[:q]
+        neg, pos = jax.lax.top_k(-s, min(k, 1024))
+        return -neg, jnp.take_along_axis(r, pos, axis=1)
 
     scores = adc_scores(dtable, codes_t, mask, **kw)
     return topk(scores, k, exact=exact)

@@ -62,7 +62,7 @@ def main():
     import jax.numpy as jnp
 
     from annlite_tpu.enums import Metric
-    from annlite_tpu.ops.adc import adc_scores
+    from annlite_tpu.ops.adc import adc_topk
     from annlite_tpu.ops.scan import quantize_rows_int8_jax, scan_topk
     from annlite_tpu.ops.topk import refined_topk
 
@@ -192,8 +192,8 @@ def main():
     @jax.jit
     def adc_search(dtable, codes_t, carry):
         dtable = dtable + carry * 1e-12
-        scores = adc_scores(dtable, codes_t)
-        d, i = refined_topk(scores, TOPK)
+        # adc_topk finishes the top-k inside the kernel at 1M (deep select)
+        d, i = adc_topk(dtable, codes_t, TOPK)
         return d, i, d[0, 0]
 
     # recall on the 200k subset vs exact ground truth
@@ -228,8 +228,7 @@ def main():
     @jax.jit
     def adc_rerank_search(dtable, codes_t, qv, vecs, carry):
         dtable = dtable + carry * 1e-12
-        scores = adc_scores(dtable, codes_t)
-        adc_d, cand = refined_topk(scores, RER)
+        adc_d, cand = adc_topk(dtable, codes_t, RER)
         cvec = vecs[cand].astype(jnp.float32)  # [Q, R, D]
         d = jnp.sum((qv[:, None, :] - cvec) ** 2, axis=-1)
         neg, pos = jax.lax.top_k(-d, TOPK)

@@ -118,3 +118,23 @@ def test_i8_scores_close_to_ref(rng):
     # CPU fallback returns the exact reference scores
     s_fb = np.asarray(adc_scores_i8(dt, codes_t, use_pallas=False))
     np.testing.assert_allclose(s_fb, s_ref, rtol=1e-5)
+
+
+def test_adc_topk_deep_matches_standard(rng):
+    """Deep-select adc_topk (TPU, N >= 16k) must agree with the reference
+    scores + exact reduction; on CPU this takes the standard path."""
+    import jax.numpy as jnp
+    from annlite_tpu.ops.adc import adc_scores_ref, adc_topk
+
+    q, m, kk, n, k = 5, 8, 16, 32768, 50
+    dtable = jnp.asarray(rng.uniform(0, 10, (q, m, kk)).astype(np.float32))
+    codes_t = jnp.asarray(rng.integers(0, kk, (m, n)).astype(np.uint8))
+    mask = jnp.asarray((rng.random(n) < 0.9).astype(np.int8))
+    d, i = adc_topk(dtable, codes_t, k, mask)
+    d, i = np.asarray(d), np.asarray(i)
+    full = np.asarray(adc_scores_ref(dtable, codes_t))
+    full = np.where(np.asarray(mask)[None, :] > 0, full, BIG)
+    gt = np.sort(full, axis=1)[:, :k]
+    # distances equal (bf16 table rounding tolerance); masked rows excluded
+    np.testing.assert_allclose(d, gt, rtol=2e-2, atol=2e-2)
+    assert np.all(np.asarray(mask)[i] > 0)
