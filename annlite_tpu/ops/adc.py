@@ -254,6 +254,95 @@ def _adc_topk8_pallas(dtable, codes_t, mask, block_q: int, block_n: int):
 
 
 # --------------------------------------------------------------------------
+# Per-query gathered-codes LUT (beam-search scoring)
+# --------------------------------------------------------------------------
+
+
+@jax.jit
+def adc_scores_per_query_ref(dtable: jax.Array, codes: jax.Array) -> jax.Array:
+    """Gather-based reference: ``dtable[Q, M, K] × codes[Q, C, M] → [Q, C]``."""
+    c = codes.astype(jnp.int32)
+
+    def per_query(dt, cq):  # dt [M, K], cq [C, M]
+        return jnp.sum(jnp.take_along_axis(dt, cq.T, axis=1), axis=0)
+
+    return jax.vmap(per_query)(dtable, c)
+
+
+def _lut_pq_kernel(dtable_ref, codes_ref, out_ref, *, n_sub: int, k: int):
+    """One query per grid step: ``out[c] = Σ_m dtable[m, codes[c, m]]``.
+
+    The LUT gather is re-expressed as a select-reduce: for each subspace m,
+    compare the code row (C on lanes) against a K-iota (K on sublanes) and
+    select the dtable column (a [K, 1] sublane vector broadcast over lanes).
+    Pure VPU — a matmul formulation would issue thousands of M=1 dots and
+    waste the MXU.  ``dtable_ref`` arrives transposed [K, M] so the per-m
+    column is a cheap lane slice."""
+    codes = codes_ref[0].astype(jnp.int32)  # [M, C]
+    c = codes.shape[1]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, c), 0)
+    acc = jnp.zeros((k, c), dtype=jnp.float32)
+    for m in range(n_sub):
+        cmp = codes[m][None, :] == iota_k  # [K, C]
+        dcol = dtable_ref[0, :, m][:, None]  # [K, 1]
+        acc = acc + jnp.where(cmp, dcol, 0.0)
+    out_ref[...] = jnp.sum(acc, axis=0, keepdims=True)[None]  # [1, 1, C]
+
+
+@jax.jit
+def _adc_scores_per_query_pallas(dtable_t, codes_t):
+    q, k, m = dtable_t.shape
+    c = codes_t.shape[2]
+    return pl.pallas_call(
+        partial(_lut_pq_kernel, n_sub=m, k=k),
+        # [Q, 1, C] so the block's trailing dims (1, C) equal the array's
+        # (Pallas requires trailing block dims divisible by (8, 128) or full)
+        out_shape=jax.ShapeDtypeStruct((q, 1, c), jnp.float32),
+        grid=(q,),
+        in_specs=[
+            pl.BlockSpec((1, k, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * q * c * m * k,
+            bytes_accessed=int(dtable_t.size * 4 + codes_t.size + q * c * 4),
+            transcendentals=0,
+        ),
+    )(dtable_t, codes_t)
+
+
+def adc_scores_per_query(
+    dtable: jax.Array,
+    codes: jax.Array,
+    *,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """ADC scores for *per-query* candidate codes: ``dtable [Q, M, K]`` ×
+    ``codes [Q, C, M]`` (uint8) → ``[Q, C]`` f32.
+
+    This is the beam-search scoring primitive (each query expands its own
+    candidate set), the TPU equivalent of the reference's per-batch dtable
+    attach + `PQ_Space::PQLookup` gather (`include/hnswlib/space_pq.h:39-73`).
+    XLA's take_along_axis lowering costs ~425 ms/batch at Q=64, C=512
+    (`benchmarks/profile_beam.py`); the Pallas select-reduce runs on the VPU
+    with everything VMEM-resident."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
+    if not use_pallas:
+        return adc_scores_per_query_ref(dtable, codes)
+    q, m, k = dtable.shape
+    c = codes.shape[1]
+    cp = _round_up(c, 128)
+    codes_t = jnp.transpose(codes, (0, 2, 1))  # [Q, M, C]
+    if cp != c:
+        codes_t = jnp.pad(codes_t, ((0, 0), (0, 0), (0, cp - c)))
+    dtable_t = jnp.transpose(dtable, (0, 2, 1)).astype(jnp.float32)  # [Q, K, M]
+    out = _adc_scores_per_query_pallas(dtable_t, codes_t)
+    return out[:, 0, :c]
+
+
+# --------------------------------------------------------------------------
 # Top-k over ADC scores
 # --------------------------------------------------------------------------
 

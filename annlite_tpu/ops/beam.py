@@ -3,16 +3,23 @@ traversal.
 
 Replaces the reference's sequential `searchBaseLayerST` beam loop
 (`include/hnswlib/hnswalg.h:243-329`): no priority queue, no visited-list
-pool, no pointer chasing.  Instead, every query keeps a fixed-width sorted
-candidate list ``[Q, L]``; each iteration expands the best ``B`` unexpanded
-nodes, gathers their neighbor rows from the dense adjacency ``[N, R]``,
-scores all ``B·R`` neighbors at once, and merges by sort.  Duplicates are
-suppressed by an id-sort pass instead of a visited set — re-scoring a node
-is cheap on the VPU, serializing on a hash set is not.  All shapes are
-static; the whole search is one ``lax.while_loop`` under jit.
+pool, no pointer chasing.  Instead, every query keeps a fixed-width
+*distance-sorted* candidate list ``[Q, L]``; each iteration expands the best
+``B`` unexpanded nodes, gathers their neighbor rows from the dense adjacency
+``[N, R]``, scores all ``B·R`` neighbors at once, and merges by sort.  All
+shapes are static; the whole search is one ``lax.while_loop`` under jit.
+
+The merge machinery is built EXCLUSIVELY from multi-operand ``lax.sort``
+calls that carry the payload columns through the sort network: on TPU,
+``take_along_axis``/scatter on [Q, L] arrays lower to serial gathers and
+cost ~1.5 ms *per beam iteration* at Q=64, while three multi-operand sorts
+cost <0.1 ms (17x measured end-to-end, `benchmarks/profile_merge.py`).
+Duplicates are suppressed by an id-sort pass instead of a visited set —
+re-scoring a node is cheap on the VPU, serializing on a hash set is not.
 
 Scoring backends: full-precision vectors (matmul) or PQ codes + per-query
-LUT (take_along_axis).
+LUT (Pallas one-hot kernel on TPU — XLA's take_along_axis LUT costs ~425 ms
+per batch at Q=64/B=16/R=32, `benchmarks/profile_beam.py`).
 """
 from functools import partial
 from typing import Optional
@@ -21,47 +28,9 @@ import jax
 import jax.numpy as jnp
 
 BIG = 3.4e38
-NO_ID = 2**30  # sentinel id for empty slots (sorts after any real id)
-
-
-def _dedup_sorted_by_id(ids, dists):
-    """Mark duplicate ids (keeping one copy) with +inf dist. ids may contain
-    NO_ID padding."""
-    order = jnp.argsort(ids, axis=1)
-    ids_s = jnp.take_along_axis(ids, order, axis=1)
-    d_s = jnp.take_along_axis(dists, order, axis=1)
-    dup = jnp.concatenate(
-        [jnp.zeros_like(ids_s[:, :1], dtype=bool), ids_s[:, 1:] == ids_s[:, :-1]],
-        axis=1,
-    )
-    d_s = jnp.where(dup | (ids_s >= NO_ID), BIG, d_s)
-    return ids_s, d_s
-
-
-def _merge_topl(ids_a, d_a, exp_a, ids_b, d_b, L):
-    """Merge candidate lists (a: with expanded flags, b: fresh) -> top-L by
-    distance, dedup'd by id."""
-    ids = jnp.concatenate([ids_a, ids_b], axis=1)
-    d = jnp.concatenate([d_a, d_b], axis=1)
-    exp = jnp.concatenate([exp_a, jnp.zeros_like(ids_b, dtype=bool)], axis=1)
-    # dedup by id: prefer the copy that is already expanded (so a node never
-    # gets re-expanded); sort by (id, ~expanded) then mark later copies
-    order = jnp.argsort(ids * 2 + (~exp).astype(ids.dtype), axis=1)
-    ids_s = jnp.take_along_axis(ids, order, axis=1)
-    d_s = jnp.take_along_axis(d, order, axis=1)
-    exp_s = jnp.take_along_axis(exp, order, axis=1)
-    dup = jnp.concatenate(
-        [jnp.zeros_like(ids_s[:, :1], dtype=bool), ids_s[:, 1:] == ids_s[:, :-1]],
-        axis=1,
-    )
-    d_s = jnp.where(dup | (ids_s >= NO_ID), BIG, d_s)
-    # keep best L by distance
-    neg, pos = jax.lax.top_k(-d_s, L)
-    return (
-        jnp.take_along_axis(ids_s, pos, axis=1),
-        -neg,
-        jnp.take_along_axis(exp_s, pos, axis=1),
-    )
+# Sentinel id for empty slots.  Must sort after any real id AND keep the
+# dedup key ``id*2 + 1`` inside int32 (hence 2**29, not 2**30).
+NO_ID = 2**29
 
 
 def make_vector_scorer(vectors, queries, metric_euclidean: bool):
@@ -84,79 +53,95 @@ def make_vector_scorer(vectors, queries, metric_euclidean: bool):
     return score
 
 
-def make_pq_scorer(codes, dtable):
+def make_pq_scorer(codes, dtable, use_pallas: Optional[bool] = None):
     """ADC scorer over gathered codes: ids [Q, C] -> dists [Q, C].
     ``codes`` [N, M] uint8 (row-major for row gathers), ``dtable``
-    [Q, M, K]."""
+    [Q, M, K].  On TPU the LUT sum runs as a Pallas one-hot select-reduce
+    (`ops/adc.py` `adc_scores_per_query`)."""
+    from .adc import adc_scores_per_query
+
     n, m = codes.shape
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
 
     def score(ids):
         valid = (ids >= 0) & (ids < n)
         safe = jnp.where(valid, ids, 0)
-        c = codes[safe].astype(jnp.int32)  # [Q, C, M]
-
-        def per_query(dt, cq):  # dt [M, K], cq [C, M]
-            return jnp.sum(
-                jnp.take_along_axis(dt, cq.T, axis=1), axis=0
-            )  # [C]
-
-        d = jax.vmap(per_query)(dtable, c)
+        c = codes[safe]  # [Q, C, M] row gather (cheap; the LUT sum is not)
+        d = adc_scores_per_query(dtable, c, use_pallas=use_pallas)
         return jnp.where(valid, d, BIG)
 
     return score
+
+
+def _sorted_seed(entry_ids, score_fn, L):
+    """Score entry points, pad to L, and sort by distance."""
+    q, e = entry_ids.shape
+    d_entry = score_fn(entry_ids)
+    ids0 = jnp.where(d_entry < BIG, entry_ids, NO_ID).astype(jnp.int32)
+    ids0 = jnp.pad(ids0, ((0, 0), (0, L - e)), constant_values=NO_ID)
+    d0 = jnp.pad(d_entry, ((0, 0), (0, L - e)), constant_values=BIG)
+    exp0 = jnp.zeros((q, L), dtype=jnp.int32)
+    d0, ids0, exp0 = jax.lax.sort((d0, ids0, exp0), num_keys=1)
+    return ids0, d0, exp0
 
 
 def _beam_loop(adjacency, entry_ids, L, B, iters, k, score_fn):
     q = entry_ids.shape[0]
     r = adjacency.shape[1]
 
-    ids0 = jnp.full((q, L), NO_ID, dtype=jnp.int32).at[:, : entry_ids.shape[1]].set(
-        entry_ids
-    )
-    d0 = jnp.full((q, L), BIG, dtype=jnp.float32)
-    d_entry = score_fn(entry_ids)
-    d0 = d0.at[:, : entry_ids.shape[1]].set(d_entry)
-    exp0 = jnp.zeros((q, L), dtype=bool)
-    # sort initial list
-    ids0, d0, exp0 = _merge_topl(
-        ids0, d0, exp0, jnp.full((q, 1), NO_ID, jnp.int32), jnp.full((q, 1), BIG), L
-    )
+    ids0, d0, exp0 = _sorted_seed(entry_ids, score_fn, L)
+    lane = jnp.arange(L, dtype=jnp.int32)[None, :]
 
     def cond(state):
         i, ids, d, exp = state
-        any_frontier = jnp.any((~exp) & (d < BIG))
+        any_frontier = jnp.any((exp == 0) & (d < BIG))
         return (i < iters) & any_frontier
 
     def body(state):
-        i, ids, d, exp = state
-        # pick best B unexpanded
-        d_frontier = jnp.where(exp, BIG, d)
-        neg, pos = jax.lax.top_k(-d_frontier, B)  # [Q, B]
-        sel_ids = jnp.take_along_axis(ids, pos, axis=1)
-        sel_valid = (-neg) < BIG
-        # mark selected as expanded
-        exp = exp.at[jnp.arange(q)[:, None], pos].set(
-            exp[jnp.arange(q)[:, None], pos] | sel_valid
+        i, ids, d, exp = state  # invariant: rows sorted by d ascending
+        # ---- frontier: first B unexpanded alive slots (list is d-sorted) --
+        cand = (exp == 0) & (d < BIG)
+        rank = jnp.cumsum(cand.astype(jnp.int32), axis=1)  # 1-based
+        sel = cand & (rank <= B)
+        exp = exp | sel.astype(jnp.int32)
+        # compact the selected ids to the front: one sort, no gather
+        skey = jnp.where(sel, rank, B + 1 + lane)
+        _, sel_ids = jax.lax.sort((skey, ids), num_keys=1)
+        sel_ids = sel_ids[:, :B]
+        sel_valid = jnp.arange(B, dtype=jnp.int32)[None, :] < jnp.minimum(
+            rank[:, -1:], B
         )
-        # gather neighbor rows -> [Q, B*R]
+        # ---- expand: gather neighbor rows -> [Q, B*R] ----
         safe_sel = jnp.where(sel_valid, sel_ids, 0)
         nbrs = adjacency[safe_sel].reshape(q, B * r)
-        nbrs = jnp.where(sel_valid[:, :, None].repeat(r, 2).reshape(q, B * r), nbrs, -1)
+        nbrs = jnp.where(jnp.repeat(sel_valid, r, axis=1), nbrs, -1)
         nd = score_fn(nbrs)
-        nbrs = jnp.where(nd < BIG, nbrs, NO_ID)
-        ids, d, exp = _merge_topl(ids, d, exp, nbrs, nd, L)
-        return i + 1, ids, d, exp
+        nbrs = jnp.where(nd < BIG, nbrs, NO_ID).astype(jnp.int32)
+        # ---- merge: dedup by id (expanded copy wins), re-sort by d, trim --
+        all_ids = jnp.concatenate([ids, nbrs], axis=1)
+        all_d = jnp.concatenate([d, nd], axis=1)
+        all_exp = jnp.concatenate([exp, jnp.zeros_like(nbrs)], axis=1)
+        dkey = all_ids * 2 + (1 - all_exp)  # same id adjacent, expanded first
+        _, ids_s, d_s, exp_s = jax.lax.sort(
+            (dkey, all_ids, all_d, all_exp), num_keys=1
+        )
+        dup = jnp.concatenate(
+            [jnp.zeros_like(ids_s[:, :1], dtype=bool),
+             ids_s[:, 1:] == ids_s[:, :-1]],
+            axis=1,
+        )
+        d_s = jnp.where(dup | (ids_s >= NO_ID), BIG, d_s)
+        d2, ids2, exp2 = jax.lax.sort((d_s, ids_s, exp_s), num_keys=1)
+        return i + 1, ids2[:, :L], d2[:, :L], exp2[:, :L]
 
     _, ids, d, exp = jax.lax.while_loop(cond, body, (0, ids0, d0, exp0))
-    neg, pos = jax.lax.top_k(-d, k)
-    return -neg, jnp.take_along_axis(ids, pos, axis=1)
+    return d[:, :k], ids[:, :k]  # list is d-sorted: top-k is a slice
 
 
 def _resolve_iters(iters, L, B):
     """Default iteration budget: enough to expand ~2L nodes (each iteration
-    expands B), floored at 16 so narrow beams still converge.  Measured on
-    v5e at 200k rows: B=16/L=128 reaches recall@10 0.998+ in 16 iterations
-    at ~2x the QPS of B=4 (which needs 64)."""
+    expands B), floored at 16 so narrow beams still converge."""
     return iters if iters is not None else max(2 * L // B, 16)
 
 

@@ -138,3 +138,17 @@ def test_adc_topk_deep_matches_standard(rng):
     # distances equal (bf16 table rounding tolerance); masked rows excluded
     np.testing.assert_allclose(d, gt, rtol=2e-2, atol=2e-2)
     assert np.all(np.asarray(mask)[i] > 0)
+
+
+def test_per_query_lut_matches_numpy(rng):
+    from annlite_tpu.ops.adc import adc_scores_per_query
+
+    q, c, m, k = 5, 37, 8, 16
+    dtable = rng.uniform(0, 10, (q, m, k)).astype(np.float32)
+    codes = rng.integers(0, k, (q, c, m)).astype(np.uint8)
+    want = np.zeros((q, c), dtype=np.float32)
+    for qi in range(q):
+        for ci in range(c):
+            want[qi, ci] = dtable[qi][np.arange(m), codes[qi, ci].astype(int)].sum()
+    got = np.asarray(adc_scores_per_query(dtable, codes, use_pallas=False))
+    np.testing.assert_allclose(got, want, atol=1e-4)
