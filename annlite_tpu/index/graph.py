@@ -144,6 +144,61 @@ class GraphIndex(BaseIndex):
             ids = np.take_along_axis(ids, order, axis=1)
         return d[:, :limit], ids[:, :limit]
 
+    def device_searcher(self, limit: int = 10):
+        """Build a jitted, device-resident search callable: ``query [Q, D]
+        f32 (device array) → (dists [Q, limit], ids [Q, limit])`` staying on
+        device.  For serving loops and benchmarks: the eager ``search`` pays
+        per-call host↔device transfers (and re-dispatch) that dominate the
+        actual kernel cost on remote-attached chips.  Captures the current
+        index state — rebuild after inserts (``_dirty``)."""
+        self._sync_device()
+        adj, codes, vecs = self._dev_adj, self._dev_codes, self._dev_vectors
+        medoid = int(self._graph.medoid)
+        metric_euclidean = self.metric == Metric.EUCLIDEAN
+        cosine = self.metric == Metric.COSINE
+        ef = max(self.ef_search, 4 * limit)
+        B, rerank = self.beam_width, self.rerank
+        pq = self.pq_codec
+        if pq is not None:
+            from ..codecs.pq import _dist_mat_ip, _dist_mat_l2
+
+            cb = jnp.asarray(pq.codebooks)
+
+        @jax.jit
+        def run(query):
+            q = jnp.asarray(query, dtype=jnp.float32)
+            if cosine:
+                q = l2_normalize(q)
+            entry = jnp.full((q.shape[0], 1), medoid, dtype=jnp.int32)
+            if pq is not None:
+                dtable = (
+                    _dist_mat_l2(q, cb) if metric_euclidean else _dist_mat_ip(q, cb)
+                )
+                d, ids = beam_search_pq(adj, entry, codes, dtable, k=ef, L=ef, B=B)
+                if rerank > 0:
+                    r = min(rerank, ids.shape[1])
+                    cid, cd = ids[:, :r], d[:, :r]
+                    cvec = vecs[jnp.clip(cid, 0, vecs.shape[0] - 1)].astype(
+                        jnp.float32
+                    )
+                    if metric_euclidean:
+                        rd = jnp.sum((q[:, None, :] - cvec) ** 2, axis=-1)
+                    else:
+                        rd = 1.0 - jnp.einsum(
+                            'qd,qrd->qr', q, cvec,
+                            preferred_element_type=jnp.float32,
+                        )
+                    rd = jnp.where(cd < BIG / 2, rd, BIG)
+                    neg, pos = jax.lax.top_k(-rd, min(limit, r))
+                    return -neg, jnp.take_along_axis(cid, pos, axis=1)
+            else:
+                d, ids = beam_search_vectors(
+                    adj, entry, vecs, q, metric_euclidean, k=ef, L=ef, B=B
+                )
+            return d[:, :limit], ids[:, :limit]
+
+        return run
+
     def _rerank_stage(self, query, cand_ids, cand_d, limit, metric_euclidean):
         r = min(self.rerank, cand_ids.shape[1])
         cand_ids = cand_ids[:, :r]

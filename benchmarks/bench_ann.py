@@ -191,17 +191,19 @@ def main():
                 )
             )
 
+        qdev = jnp.asarray(queries)  # device-resident harness: the eager
+        # search() pays per-call host<->device tunnel round-trips (~10x)
         for ef in (32, 64, 128):
             g.ef_search = ef
+            searcher = g.device_searcher(limit=TOPK)
 
-            def gsearch(q, carry, ef=ef):
-                qq = q + np.float32(carry) * 1e-12
-                d, ids = g.search(qq, limit=TOPK)
-                return d, ids, jnp.float32(d[0, 0])
+            def gsearch(q, carry):
+                d, ids = searcher(q + carry * 0)
+                return d, ids, jnp.float32(jnp.sum(d) * 1e-9)
 
-            d, ids, _ = gsearch(queries[0], 0.0)
-            rec = recall_sub(ids)
-            t = chain_time(gsearch, lambda i: (queries[i],), carry0)
+            d, ids, _ = gsearch(qdev[0], jnp.float32(0.0))
+            rec = recall_sub(np.asarray(ids))
+            t = chain_time(gsearch, lambda i: (qdev[i],), carry0)
             log(
                 f'graph ef={ef:4d}: {t*1e3:7.2f} ms  {Q/t:8.0f} QPS  recall@10={rec:.4f}'
             )

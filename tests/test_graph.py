@@ -105,3 +105,33 @@ def test_graph_via_facade(tmp_index_path, data):
     res = b.search([Doc(id='q', embedding=data[7])], limit=5)
     assert res[0].matches[0].id == 'doc7'
     b.close()
+
+
+def test_device_searcher_matches_eager(data):
+    import jax.numpy as jnp
+
+    idx = GraphIndex(D, metric=Metric.EUCLIDEAN, max_degree=24, ef_search=64)
+    idx.add_with_ids(data, np.arange(N))
+    q = data[:8]
+    d_e, ids_e = idx.search(q, limit=10)
+    run = idx.device_searcher(limit=10)
+    d_j, ids_j = (np.asarray(a) for a in run(jnp.asarray(q)))
+    np.testing.assert_array_equal(ids_e, ids_j)
+    np.testing.assert_allclose(d_e, d_j, rtol=1e-5, atol=1e-5)
+
+
+def test_device_searcher_pq_rerank(data):
+    import jax.numpy as jnp
+
+    pq = PQCodec(D, n_subvectors=4, n_clusters=16, metric=Metric.EUCLIDEAN)
+    pq.fit(data)
+    idx = GraphIndex(
+        D, metric=Metric.EUCLIDEAN, max_degree=24, ef_search=64,
+        pq_codec=pq, rerank=50,
+    )
+    idx.add_with_ids(data, np.arange(N))
+    run = idx.device_searcher(limit=10)
+    d, ids = (np.asarray(a) for a in run(jnp.asarray(data[:8])))
+    assert (np.diff(d, axis=1) >= -1e-4).all()
+    # self-match: rerank is exact, so the query row itself must be rank 0
+    assert np.mean(ids[:, 0] == np.arange(8)) >= 0.9
