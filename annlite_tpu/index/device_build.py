@@ -1,0 +1,422 @@
+"""Device-accelerated Vamana graph construction.
+
+The reference builds its graph on the host, one point at a time, inside
+`HierarchicalNSW::addPoint` (`include/hnswlib/hnswalg.h:1108-1235`) — a
+serial beam search + neighbor-prune per insert, parallelized only across a
+thread pool (`bindings/hnsw_bindings.cpp:264-280`).  Our native equivalent
+(`native/vamana.cpp`) does the same and tops out near ~1k rows/s on a small
+host.  This module moves the two compute-heavy stages onto the TPU:
+
+1. **Candidate pools** — the whole insert batch runs as ONE batched device
+   beam search over the current graph (`ops/beam.py`), merged with an
+   intra-batch exact top-k (one MXU matmul) so batch-mates can link to each
+   other (the reference gets this for free from serial insertion order).
+2. **RobustPrune** — vectorized over the batch on device
+   (`ops/prune.py robust_prune_batch`), including the overflow re-prunes
+   for back-edge targets.
+
+The host only keeps the authoritative adjacency array and stitches
+back-edges with vectorized numpy (grouping, in-link guarantees); changed
+rows are pushed back to the device buffer between batches.  All device
+shapes are static per (capacity, chunk) so programs cache across batches —
+live sizes travel as traced scalars.
+"""
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.beam import _resolve_iters, beam_search_vectors_bounded
+
+GROW_CHUNK = 1 << 17  # capacity growth quantum (keeps jit shapes reusable)
+PAD_Q = 1024          # query/prune chunk quantum (ditto)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _bucket(n: int) -> int:
+    """Pad counts to PAD_Q·2^k buckets: per-batch row counts vary, and every
+    fresh shape costs a full XLA compile — bucketing caps the program count
+    at O(log n) while wasting < 2x compute on the padding."""
+    b = PAD_Q
+    while b < n:
+        b *= 2
+    return b
+
+
+@jax.jit
+def _scatter_rows(adj, rows, vals):
+    return adj.at[rows].set(vals)
+
+
+class DeviceVamanaBuilder:
+    """Batched Vamana construction with device-side search + prune.
+
+    Produces the same artifact as `native/vamana.cpp`: a dense padded
+    adjacency ``int32 [n, R]`` (pad -1) plus a medoid entry point.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        max_degree: int = 32,
+        alpha: float = 1.2,
+        metric_ip: bool = False,
+        l_build: int = 64,
+        batch_size: int = 4096,
+        beam_width: int = 16,
+        intra_k: Optional[int] = None,
+        inc_cap: int = 32,
+    ):
+        self.dim = dim
+        self.r = max_degree
+        self.alpha = float(alpha)
+        self.metric_ip = metric_ip
+        self.l_build = max(l_build, max_degree)
+        self.batch_size = batch_size
+        self.beam_width = beam_width
+        self.intra_k = intra_k if intra_k is not None else max_degree
+        self.inc_cap = inc_cap
+        self.n = 0
+        self.medoid = 0
+        self.stats: dict = {}  # per-stage wall seconds (build diagnostics)
+        self._sum = np.zeros(dim, dtype=np.float64)  # running centroid
+        self._vecs_host = np.zeros((0, dim), dtype=np.float32)   # capacity-sized
+        self._adj_host = np.zeros((0, self.r), dtype=np.int32)   # capacity-sized
+        self._vecs_dev = None  # [cap, D] f32
+        self._adj_dev = None   # [cap, R] i32
+
+    # ---------------- capacity / device sync ----------------
+
+    @property
+    def capacity(self) -> int:
+        return len(self._vecs_host)
+
+    @property
+    def size(self) -> int:
+        return self.n
+
+    @property
+    def vectors(self) -> np.ndarray:
+        return self._vecs_host[: self.n]
+
+    def adjacency(self) -> np.ndarray:
+        return self._adj_host[: self.n].copy()
+
+    def device_arrays(self):
+        """(vectors [cap, D], adjacency [cap, R]) device buffers; rows >= n
+        are padding (adjacency pad -1, so never routed into)."""
+        return self._vecs_dev, self._adj_dev
+
+    def _ensure_capacity(self, n_new: int):
+        need = self.n + n_new
+        if need <= self.capacity:
+            return
+        cap = _round_up(need, GROW_CHUNK)
+        vh = np.zeros((cap, self.dim), dtype=np.float32)
+        vh[: self.n] = self._vecs_host[: self.n]
+        ah = np.full((cap, self.r), -1, dtype=np.int32)
+        ah[: self.n] = self._adj_host[: self.n]
+        self._vecs_host, self._adj_host = vh, ah
+        vecs = jnp.zeros((cap, self.dim), dtype=jnp.float32)
+        adj = jnp.full((cap, self.r), -1, dtype=jnp.int32)
+        if self.n:
+            vecs = jax.lax.dynamic_update_slice(
+                vecs, jnp.asarray(vh[: self.n]), (0, 0)
+            )
+            adj = jax.lax.dynamic_update_slice(
+                adj, jnp.asarray(ah[: self.n]), (0, 0)
+            )
+        self._vecs_dev, self._adj_dev = vecs, adj
+
+    def _push_rows(self, rows: np.ndarray):
+        """Push updated adjacency rows (host-authoritative) to the device."""
+        if rows.size == 0:
+            return
+        rows = np.unique(rows)
+        k = _bucket(len(rows))
+        if k != len(rows):  # pad with duplicate writes of the first row
+            rows = np.concatenate([rows, np.full(k - len(rows), rows[0])])
+        self._adj_dev = _scatter_rows(
+            self._adj_dev, jnp.asarray(rows.astype(np.int32)),
+            jnp.asarray(self._adj_host[rows]),
+        )
+
+    # ---------------- pools ----------------
+
+    def _graph_pools(self, x: np.ndarray) -> np.ndarray:
+        """Beam-search pools for the batch against the current graph."""
+        l = self.l_build
+        out = np.empty((len(x), l), dtype=np.int32)
+        iters = _resolve_iters(None, l, self.beam_width)
+        for s in range(0, len(x), PAD_Q):
+            chunk = x[s : s + PAD_Q]
+            pad = PAD_Q - len(chunk)
+            q = jnp.asarray(np.pad(chunk, ((0, pad), (0, 0))) if pad else chunk)
+            entry = jnp.full((PAD_Q, 1), self.medoid, dtype=jnp.int32)
+            _, ids = beam_search_vectors_bounded(
+                self._adj_dev, entry, self._vecs_dev, q,
+                jnp.int32(self.n), not self.metric_ip,
+                l, self.beam_width, iters, l,
+            )
+            out[s : s + len(chunk)] = np.asarray(ids[: len(chunk)])
+        return out
+
+    def _intra_pools(self, x: np.ndarray, base: int) -> np.ndarray:
+        """Exact intra-batch top-k (batch-mates can't be found by the graph
+        search — the reference sees them via serial insertion order)."""
+        p = len(x)
+        k = self.intra_k
+        pp = _bucket(p)
+        xp = np.full((pp, self.dim), 1e6, dtype=np.float32)
+        xp[:p] = x
+        idx = np.asarray(_intra_topk_jit(jnp.asarray(xp), self.metric_ip, k))
+        idx = idx[:p]
+        out = np.where((idx >= 0) & (idx < p), idx + base, -1).astype(np.int32)
+        return out
+
+    # ---------------- insert ----------------
+
+    def add(self, x: np.ndarray):
+        import time
+
+        x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, self.dim)
+        for s in range(0, len(x), self.batch_size):
+            self._add_batch(x[s : s + self.batch_size])
+        t = time.perf_counter()
+        self._repair_reachability()
+        self._tick('repair', t)
+
+    def _tick(self, key: str, t0: float) -> float:
+        import time
+
+        t1 = time.perf_counter()
+        self.stats[key] = self.stats.get(key, 0.0) + (t1 - t0)
+        return t1
+
+    def _add_batch(self, x: np.ndarray):
+        import time
+
+        p = len(x)
+        if p == 0:
+            return
+        t = time.perf_counter()
+        base = self.n
+        self._ensure_capacity(p)
+        self._vecs_host[base : base + p] = x
+        self._vecs_dev = jax.lax.dynamic_update_slice(
+            self._vecs_dev, jnp.asarray(x), (base, 0)
+        )
+        self._sum += x.sum(axis=0, dtype=np.float64)
+        t = self._tick('upload', t)
+
+        # pools: intra-batch exact + graph beam (once a graph exists)
+        pools = [self._intra_pools(x, base)]
+        t = self._tick('intra', t)
+        if base > 0:
+            pools.append(self._graph_pools(x))
+            t = self._tick('pools', t)
+        pool_ids = np.concatenate(pools, axis=1)
+
+        new_ids = np.arange(base, base + p, dtype=np.int32)
+        out = self._device_prune(new_ids, pool_ids)  # [P, R]
+        t = self._tick('prune', t)
+        self.n = base + p
+        self._adj_host[new_ids] = out
+
+        touched = self._apply_back_edges(new_ids, out)
+        t = self._tick('backedges', t)
+        self._update_medoid()
+        self._push_rows(np.concatenate([new_ids, touched]))
+        self._tick('push', t)
+
+    def _device_prune(self, self_ids: np.ndarray, pool_ids: np.ndarray) -> np.ndarray:
+        p = len(self_ids)
+        pp = _bucket(p)
+        l = _round_up(max(pool_ids.shape[1], 8), 8)
+        pool = np.full((pp, l), -1, dtype=np.int32)
+        pool[:p, : pool_ids.shape[1]] = pool_ids
+        sids = np.zeros(pp, dtype=np.int32)
+        sids[:p] = self_ids
+        out = _prune_call(
+            jnp.asarray(pool), jnp.asarray(sids), self._vecs_dev,
+            jnp.float32(self.alpha), self.r, self.metric_ip,
+        )
+        return np.asarray(out)[:p]
+
+    def _apply_back_edges(self, new_ids: np.ndarray, out: np.ndarray) -> np.ndarray:
+        """Insert reverse edges p→v into each v's list; re-prune rows that
+        overflow (reference back-edge path: `hnswalg.h:571-619` /
+        `native/vamana.cpp`).  Returns the modified rows."""
+        r = self.r
+        src = np.repeat(new_ids, r)
+        dst = out.reshape(-1)
+        keep = dst >= 0
+        src, dst = src[keep], dst[keep]
+        if len(dst):  # drop edges already present (repair re-inserts)
+            fresh = ~(self._adj_host[dst] == src[:, None]).any(axis=1)
+            src, dst = src[fresh], dst[fresh]
+        if len(dst) == 0:
+            return np.empty(0, dtype=np.int64)
+        order = np.argsort(dst, kind='stable')
+        src, dst = src[order], dst[order]
+        uniq, starts, counts = np.unique(dst, return_index=True, return_counts=True)
+        deg = (self._adj_host[uniq] >= 0).sum(axis=1)
+        total = deg + counts
+
+        # fast path: appends that fit — one vectorized scatter
+        fit = total <= r
+        if fit.any():
+            f_u, f_start, f_cnt, f_deg = uniq[fit], starts[fit], counts[fit], deg[fit]
+            csum = np.concatenate([[0], np.cumsum(f_cnt)])
+            grp = np.repeat(np.arange(len(f_u)), f_cnt)
+            within = np.arange(csum[-1]) - csum[grp]
+            rows = f_u[grp]
+            cols = f_deg[grp] + within
+            vals = src[f_start[grp] + within]
+            self._adj_host[rows, cols] = vals
+
+        # overflow path: device re-prune of (old nbrs + incoming)
+        ov = ~fit
+        if ov.any():
+            o_u, o_start, o_cnt = uniq[ov], starts[ov], counts[ov]
+            cap = self.inc_cap
+            cc = np.minimum(o_cnt, cap)
+            inc = np.full((len(o_u), cap), -1, dtype=np.int32)
+            csum = np.concatenate([[0], np.cumsum(cc)])
+            grp = np.repeat(np.arange(len(o_u)), cc)
+            within = np.arange(csum[-1]) - csum[grp]
+            inc[grp, within] = src[o_start[grp] + within]
+            pool = np.concatenate([self._adj_host[o_u], inc], axis=1)
+            pruned = self._device_prune(o_u.astype(np.int32), pool)
+            self._adj_host[o_u] = pruned
+
+        # in-link guarantee: a new point none of whose back-edges landed is
+        # unreachable from the medoid (`native/vamana.cpp` repairs this too)
+        referenced = np.concatenate(
+            [self._adj_host[uniq].reshape(-1), self._adj_host[new_ids].reshape(-1)]
+        )
+        have_inlink = np.isin(new_ids, referenced)
+        missing = new_ids[~have_inlink]
+        forced = []
+        for pid in missing:
+            tgt = self._adj_host[pid, 0]
+            if tgt < 0:
+                continue
+            row = self._adj_host[tgt]
+            empty = np.flatnonzero(row < 0)
+            slot = empty[0] if len(empty) else r - 1
+            self._adj_host[tgt, slot] = pid
+            forced.append(tgt)
+        touched = uniq
+        if forced:
+            touched = np.concatenate([touched, np.asarray(forced, dtype=uniq.dtype)])
+        return touched
+
+    def _reachable_mask(self) -> np.ndarray:
+        """BFS from the medoid over the host adjacency (level-set numpy)."""
+        mask = np.zeros(self.n, dtype=bool)
+        mask[self.medoid] = True
+        frontier = np.array([self.medoid])
+        while len(frontier):
+            nxt = self._adj_host[frontier].reshape(-1)
+            nxt = np.unique(nxt[nxt >= 0])
+            nxt = nxt[~mask[nxt]]
+            mask[nxt] = True
+            frontier = nxt
+        return mask
+
+    def _repair_reachability(self, max_rounds: int = 4):
+        """Batched insertion can leave islands (nodes whose in-links all come
+        from batch-mates in a cycle) — the serial reference is reachable by
+        induction instead.  Re-insert unreachable nodes with pools drawn from
+        the reachable graph: the alpha slack in RobustPrune preserves the
+        long-range edges both ways (`native/vamana.cpp robust_prune`), so a
+        couple of rounds reconnect everything."""
+        if self.n <= 1:
+            return
+        for _ in range(max_rounds):
+            mask = self._reachable_mask()
+            bad = np.flatnonzero(~mask)
+            if len(bad) == 0:
+                return
+            for s in range(0, len(bad), self.batch_size):
+                ids = bad[s : s + self.batch_size].astype(np.int32)
+                pools = self._graph_pools(self._vecs_host[ids])
+                pool = np.concatenate([self._adj_host[ids], pools], axis=1)
+                out = self._device_prune(ids, pool)
+                self._adj_host[ids] = out
+                touched = self._apply_back_edges(ids, out)
+                self._push_rows(np.concatenate([ids, touched]))
+
+    def _update_medoid(self):
+        """Nearest stored point to the running centroid (sampled), matching
+        `native/vamana.cpp compute_medoid`."""
+        c = (self._sum / max(self.n, 1)).astype(np.float32)
+        step = max(1, self.n // 10000)
+        sample = self._vecs_host[: self.n : step]
+        if self.metric_ip:
+            d = 1.0 - sample @ c
+        else:
+            d = ((sample - c) ** 2).sum(axis=1)
+        self.medoid = int(np.argmin(d) * step)
+
+    # ---------------- load (snapshot restore) ----------------
+
+    def load(self, vectors: np.ndarray, adjacency: np.ndarray):
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        adjacency = np.ascontiguousarray(adjacency, dtype=np.int32)
+        n = len(vectors)
+        cap = _round_up(max(n, 1), GROW_CHUNK)
+        self._vecs_host = np.zeros((cap, self.dim), dtype=np.float32)
+        self._vecs_host[:n] = vectors
+        self._adj_host = np.full((cap, self.r), -1, dtype=np.int32)
+        self._adj_host[:n] = adjacency
+        self.n = n
+        self._sum = vectors.sum(axis=0, dtype=np.float64)
+        self._vecs_dev = jax.lax.dynamic_update_slice(
+            jnp.zeros((cap, self.dim), jnp.float32), jnp.asarray(vectors), (0, 0)
+        )
+        self._adj_dev = jax.lax.dynamic_update_slice(
+            jnp.full((cap, self.r), -1, jnp.int32), jnp.asarray(adjacency), (0, 0)
+        )
+        if n:
+            self._update_medoid()
+
+
+@partial(jax.jit, static_argnames=('metric_ip', 'k'))
+def _intra_topk_jit(x, metric_ip: bool, k: int):
+    if metric_ip:
+        d = 1.0 - jnp.dot(x, x.T, preferred_element_type=jnp.float32)
+    else:
+        n2 = jnp.sum(x * x, axis=1)
+        d = n2[:, None] + n2[None, :] - 2.0 * jnp.dot(
+            x, x.T, preferred_element_type=jnp.float32
+        )
+    d = d + jnp.eye(x.shape[0], dtype=d.dtype) * 3.4e38  # exclude self
+    _, idx = jax.lax.top_k(-d, k)
+    return idx
+
+
+@partial(jax.jit, static_argnames=('r', 'metric_ip'))
+def _prune_call(pool_ids, self_ids, vecs_dev, alpha, r: int, metric_ip: bool):
+    from ..ops.prune import robust_prune_batch
+
+    safe = jnp.clip(pool_ids, 0, vecs_dev.shape[0] - 1)
+    pool_vecs = vecs_dev[safe]  # [P, L, D]
+    self_vecs = vecs_dev[jnp.clip(self_ids, 0, vecs_dev.shape[0] - 1)]
+    if metric_ip:
+        pool_d = 1.0 - jnp.einsum(
+            'pd,pld->pl', self_vecs, pool_vecs,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        diff = pool_vecs - self_vecs[:, None, :]
+        pool_d = jnp.sum(diff * diff, axis=-1)
+    return robust_prune_batch(
+        pool_ids, pool_d, pool_vecs, self_ids, alpha, r, metric_ip=metric_ip
+    )

@@ -44,20 +44,37 @@ class GraphIndex(BaseIndex):
         pq_codec: Optional[PQCodec] = None,
         rerank: int = 0,
         n_threads: int = 0,
+        build_mode: str = 'host',
+        build_batch_size: int = 4096,
         **kwargs,
     ):
         super().__init__(dim=dim, metric=metric, **kwargs)
+        if build_mode not in ('host', 'device'):
+            raise ValueError(f'unknown build_mode {build_mode!r}')
         self.max_degree = max_degree
+        self.alpha = alpha
+        self.l_build = l_build
         self.ef_search = ef_search
         self.beam_width = beam_width
         self.pq_codec = pq_codec
         self.rerank = rerank
         self.n_threads = n_threads
+        self.build_mode = build_mode
+        self.build_batch_size = build_batch_size
         metric_ip = self.metric != Metric.EUCLIDEAN
-        self._graph = VamanaGraph(
-            dim, max_degree=max_degree, alpha=alpha, metric_ip=metric_ip,
-            l_build=l_build,
-        )
+        if build_mode == 'device':
+            from .device_build import DeviceVamanaBuilder
+
+            self._graph = DeviceVamanaBuilder(
+                dim, max_degree=max_degree, alpha=alpha, metric_ip=metric_ip,
+                l_build=l_build, batch_size=build_batch_size,
+                beam_width=beam_width,
+            )
+        else:
+            self._graph = VamanaGraph(
+                dim, max_degree=max_degree, alpha=alpha, metric_ip=metric_ip,
+                l_build=l_build,
+            )
         self._vectors = np.zeros((0, dim), dtype=np.float32)  # host copy
         self._dev_adj = None
         self._dev_vectors = None
@@ -90,20 +107,35 @@ class GraphIndex(BaseIndex):
                 f'{ids[:3]} at size {self.size}'
             )
         x = self._prep(x)
-        self._graph.add(x, n_threads=self.n_threads)
-        self._vectors = np.concatenate([self._vectors, x])
+        if self.build_mode == 'device':
+            self._graph.add(x)
+            self._vectors = self._graph.vectors  # builder owns the host copy
+        else:
+            self._graph.add(x, n_threads=self.n_threads)
+            self._vectors = np.concatenate([self._vectors, x])
         self._dirty = True
 
     def _sync_device(self):
         if not self._dirty:
             return
-        self._dev_adj = jnp.asarray(self._graph.adjacency())
+        dev_vecs = None
+        if self.build_mode == 'device' and self.size:
+            # reuse the builder's capacity-padded buffers: padded rows are
+            # unreachable (adjacency pad -1, real rows only link to real ids)
+            dev_vecs, self._dev_adj = self._graph.device_arrays()
+        else:
+            self._dev_adj = jnp.asarray(self._graph.adjacency())
         if self.pq_codec is not None:
             codes = self.pq_codec.encode(self._vectors)
             self._dev_codes = jnp.asarray(codes)  # row-major [N, M]
         if self.pq_codec is None or self.rerank > 0:
             dt = jnp.bfloat16 if self.pq_codec is not None else jnp.float32
-            self._dev_vectors = jnp.asarray(self._vectors, dtype=dt)
+            if dev_vecs is not None:
+                self._dev_vectors = (
+                    dev_vecs if dt == jnp.float32 else dev_vecs.astype(dt)
+                )
+            else:
+                self._dev_vectors = jnp.asarray(self._vectors, dtype=dt)
         self._dirty = False
 
     def search(self, query: np.ndarray, limit: int = 10, mask: Optional[np.ndarray] = None):
@@ -216,13 +248,20 @@ class GraphIndex(BaseIndex):
         return -neg, jnp.take_along_axis(cand_ids, pos, axis=1)
 
     def reset(self):
-        self._graph = VamanaGraph(
-            self.dim,
-            max_degree=self.max_degree,
-            alpha=self._graph.alpha,
-            metric_ip=self._graph.metric_ip,
-            l_build=self._graph.l_build,
-        )
+        metric_ip = self.metric != Metric.EUCLIDEAN
+        if self.build_mode == 'device':
+            from .device_build import DeviceVamanaBuilder
+
+            self._graph = DeviceVamanaBuilder(
+                self.dim, max_degree=self.max_degree, alpha=self.alpha,
+                metric_ip=metric_ip, l_build=self.l_build,
+                batch_size=self.build_batch_size, beam_width=self.beam_width,
+            )
+        else:
+            self._graph = VamanaGraph(
+                self.dim, max_degree=self.max_degree, alpha=self.alpha,
+                metric_ip=metric_ip, l_build=self.l_build,
+            )
         self._vectors = np.zeros((0, self.dim), dtype=np.float32)
         self._dev_adj = self._dev_vectors = self._dev_codes = None
         self._dirty = True

@@ -61,6 +61,7 @@ class AnnLite:
         max_degree: int = 32,
         ef_construction: int = 64,
         ef_search: int = 64,
+        graph_build_mode: str = 'host',
         **kwargs,
     ):
         self.logger = setup_logging(verbose)
@@ -82,6 +83,7 @@ class AnnLite:
         self.index_type = index_type
         self.max_degree = max_degree
         self.ef_construction = ef_construction
+        self.graph_build_mode = graph_build_mode
         self.ef_search = ef_search
 
         if columns is None and filterable_attrs:
@@ -165,6 +167,7 @@ class AnnLite:
                 ef_search=self.ef_search,
                 pq_codec=self._pq_codec,
                 rerank=self.rerank,
+                build_mode=self.graph_build_mode,
             )
         elif kind == 'ivf_pq':
             if self._pq_codec is None:

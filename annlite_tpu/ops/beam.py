@@ -157,6 +157,22 @@ def _beam_pq(adjacency, entry_ids, codes, dtable, L, B, iters, k):
     return _beam_loop(adjacency, entry_ids, L, B, iters, k, score)
 
 
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def beam_search_vectors_bounded(
+    adjacency, entry_ids, vectors, queries, n, metric_euclidean, L, B, iters, k
+):
+    """Beam search over a capacity-padded buffer: rows with id >= ``n``
+    (a traced scalar, so batches of different live sizes share one compiled
+    program) are invalid.  Used by graph construction, where the buffers are
+    pre-grown and the batch being inserted must not route through itself."""
+    base = make_vector_scorer(vectors, queries, metric_euclidean)
+
+    def score(ids):
+        return jnp.where(ids < n, base(ids), BIG)
+
+    return _beam_loop(adjacency, entry_ids, L, B, iters, k, score)
+
+
 def beam_search_vectors(
     adjacency, entry_ids, vectors, queries, metric_euclidean: bool,
     k: int = 10, L: int = 64, B: int = 16, iters: Optional[int] = None,

@@ -1,0 +1,107 @@
+"""Graph construction benchmark: device-accelerated Vamana vs native C++.
+
+Same corpus recipe as bench_ann.py (clustered, D=128).  Reports build
+throughput and serving recall@10 at ef=128 so quality regressions show up
+next to the speed number.
+
+Usage: timeout 1800 python benchmarks/bench_build.py [--n 200000] [--batch 8192]
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def log(m):
+    print(f'[build] {m}', file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--n', type=int, default=200_000)
+    ap.add_argument('--d', type=int, default=128)
+    ap.add_argument('--cells', type=int, default=1024)
+    ap.add_argument('--batch', type=int, default=8192)
+    ap.add_argument('--host', action='store_true', help='also time the C++ builder')
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_annlite_bench')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    import jax.numpy as jnp
+
+    N, D, Q, TOPK = args.n, args.d, 64, 10
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(args.cells, D)).astype(np.float32) * 2.0
+    labels = rng.integers(0, args.cells, size=1_000_000)
+    X = (centers[labels] + rng.normal(size=(1_000_000, D))).astype(np.float32)[:N]
+    queries = (centers[rng.integers(0, args.cells, size=Q)]
+               + rng.normal(size=(Q, D))).astype(np.float32)
+
+    @jax.jit
+    def exact_batch(q, xc):
+        return (
+            jnp.sum(q * q, 1)[:, None] + jnp.sum(xc * xc, 1)[None, :]
+            - 2 * jnp.dot(q, xc.T, precision=jax.lax.Precision.HIGHEST)
+        )
+
+    log('computing exact GT')
+    qj = jnp.asarray(queries)
+    d_all = None
+    for s in range(0, N, 250_000):
+        d = np.asarray(exact_batch(qj, jnp.asarray(X[s : s + 250_000])))
+        d_all = d if d_all is None else np.concatenate([d_all, d], axis=1)
+    gt = np.argsort(d_all, axis=1)[:, :TOPK]
+
+    def recall(ids):
+        ids = np.asarray(ids)[:, :TOPK]
+        return float(np.mean([len(set(gt[i]) & set(ids[i])) / TOPK for i in range(Q)]))
+
+    from annlite_tpu.index.device_build import DeviceVamanaBuilder
+    from annlite_tpu.ops.beam import beam_search_vectors
+
+    log(f'device build: N={N} batch={args.batch}')
+    b = DeviceVamanaBuilder(D, max_degree=32, l_build=64, batch_size=args.batch)
+    # warm the compiled programs on a throwaway prefix so the timed run
+    # reflects steady state (first compiles cost 20-60s via the tunnel)
+    warm = DeviceVamanaBuilder(D, max_degree=32, l_build=64, batch_size=args.batch)
+    warm.add(X[: min(2 * args.batch, N)])
+    t0 = time.perf_counter()
+    b.add(X)
+    t_dev = time.perf_counter() - t0
+    log(f'device build: {t_dev:.1f}s ({N/t_dev:.0f} rows/s)')
+    log('stage seconds: ' + ', '.join(f'{k}={v:.1f}' for k, v in sorted(b.stats.items())))
+
+    adj = jnp.asarray(b.adjacency())
+    entry = jnp.full((Q, 1), b.medoid, dtype=jnp.int32)
+    for ef in (64, 128):
+        _, ids = beam_search_vectors(
+            adj, entry, jnp.asarray(X), qj, True, k=ef, L=ef, B=16
+        )
+        log(f'device-built graph ef={ef}: recall@10={recall(ids):.4f}')
+
+    if args.host:
+        from annlite_tpu.index.vamana_lib import VamanaGraph
+
+        log('host (C++) build')
+        g = VamanaGraph(D, max_degree=32, alpha=1.2, metric_ip=False, l_build=64)
+        t0 = time.perf_counter()
+        g.add(X)
+        t_host = time.perf_counter() - t0
+        log(f'host build: {t_host:.1f}s ({N/t_host:.0f} rows/s)')
+        adj_h = jnp.asarray(g.adjacency())
+        entry_h = jnp.full((Q, 1), g.medoid, dtype=jnp.int32)
+        for ef in (64, 128):
+            _, ids = beam_search_vectors(
+                adj_h, entry_h, jnp.asarray(X), qj, True, k=ef, L=ef, B=16
+            )
+            log(f'host-built graph ef={ef}: recall@10={recall(ids):.4f}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,174 @@
+"""Device-side RobustPrune + batched Vamana construction
+(`annlite_tpu/ops/prune.py`, `annlite_tpu/index/device_build.py`).
+
+Mirrors the reference's construction-quality methodology: invariants
+(degree bound, no self-loops, reachability) plus recall against the exact
+scan (`/root/reference/tests/test_pq_index.py`)."""
+import numpy as np
+import pytest
+
+from annlite_tpu.index.device_build import DeviceVamanaBuilder
+from annlite_tpu.ops.prune import robust_prune_batch
+
+D = 32
+
+
+def _np_robust_prune(pool_ids, pool_d, vecs, self_id, alpha, r):
+    """Reference implementation (mirrors native/vamana.cpp robust_prune +
+    saturation)."""
+    items = sorted(
+        {int(i): float(d) for i, d in zip(pool_ids, pool_d) if i >= 0 and i != self_id}.items(),
+        key=lambda kv: kv[1],
+    )
+    ids = [i for i, _ in items]
+    dists = {i: d for i, d in items}
+    removed = set()
+    out = []
+    for i in ids:
+        if i in removed or len(out) >= r:
+            continue
+        out.append(i)
+        for j in ids:
+            if j in removed or j in out:
+                continue
+            d_sj = ((vecs[i] - vecs[j]) ** 2).sum()
+            if alpha * d_sj <= dists[j]:
+                removed.add(j)
+    for i in ids:  # saturate
+        if len(out) >= r:
+            break
+        if i not in out:
+            out.append(i)
+    return out
+
+
+def test_robust_prune_matches_numpy(rng):
+    import jax.numpy as jnp
+
+    n, p, l, r = 500, 7, 24, 8
+    vecs = rng.standard_normal((n, D)).astype(np.float32)
+    self_ids = rng.integers(0, n, p).astype(np.int32)
+    pool_ids = rng.integers(-1, n, (p, l)).astype(np.int32)
+    # inject duplicates + self references
+    pool_ids[:, 3] = pool_ids[:, 0]
+    pool_ids[:, 5] = self_ids
+    pool_d = np.array(
+        [((vecs[np.clip(row, 0, n - 1)] - vecs[s]) ** 2).sum(axis=1)
+         for row, s in zip(pool_ids, self_ids)],
+        dtype=np.float32,
+    )
+    pool_vecs = vecs[np.clip(pool_ids, 0, n - 1)]
+    got = np.asarray(
+        robust_prune_batch(
+            jnp.asarray(pool_ids), jnp.asarray(pool_d), jnp.asarray(pool_vecs),
+            jnp.asarray(self_ids), 1.2, r,
+        )
+    )
+    for i in range(p):
+        want = _np_robust_prune(pool_ids[i], pool_d[i], vecs, self_ids[i], 1.2, r)
+        have = [v for v in got[i] if v >= 0]
+        assert have == want, (i, have, want)
+
+
+def _bfs_reachable(adj, start):
+    seen = {start}
+    stack = [start]
+    while stack:
+        u = stack.pop()
+        for v in adj[u]:
+            if v >= 0 and v not in seen:
+                seen.add(v)
+                stack.append(v)
+    return seen
+
+
+@pytest.fixture
+def clustered(rng):
+    centers = rng.standard_normal((8, D)).astype(np.float32) * 3
+    n = 3000
+    return (centers[rng.integers(0, 8, n)]
+            + rng.standard_normal((n, D))).astype(np.float32)
+
+
+def test_builder_invariants_and_recall(clustered):
+    from annlite_tpu.ops.beam import beam_search_vectors
+    import jax.numpy as jnp
+
+    x = clustered
+    n = len(x)
+    b = DeviceVamanaBuilder(D, max_degree=24, l_build=48, batch_size=1024)
+    b.add(x)
+    assert b.size == n
+    adj = b.adjacency()
+    assert adj.shape == (n, 24)
+    # degree bound + no self loops
+    for i in range(0, n, 97):
+        row = adj[i][adj[i] >= 0]
+        assert len(set(row.tolist())) == len(row)
+        assert i not in row
+    # reachability from the medoid
+    reach = _bfs_reachable(adj, b.medoid)
+    assert len(reach) >= 0.999 * n, f'only {len(reach)}/{n} reachable'
+
+    # recall vs exact on held-out queries
+    q = x[:32]
+    exact = np.argsort(((q[:, None] - x[None]) ** 2).sum(-1), axis=1)[:, :10]
+    entry = jnp.full((32, 1), b.medoid, dtype=jnp.int32)
+    _, ids = beam_search_vectors(
+        jnp.asarray(adj), entry, jnp.asarray(x), jnp.asarray(q), True,
+        k=64, L=64, B=16,
+    )
+    ids = np.asarray(ids)[:, :10]
+    rec = np.mean([len(set(exact[i]) & set(ids[i].tolist())) / 10 for i in range(32)])
+    assert rec > 0.8, f'recall {rec}'
+
+
+def test_builder_incremental_matches_bulk(clustered):
+    x = clustered
+    b = DeviceVamanaBuilder(D, max_degree=16, l_build=32, batch_size=512)
+    b.add(x[:1500])
+    b.add(x[1500:])
+    assert b.size == len(x)
+    reach = _bfs_reachable(b.adjacency(), b.medoid)
+    assert len(reach) >= 0.999 * len(x)
+
+
+def test_builder_load_roundtrip(clustered):
+    x = clustered[:800]
+    b = DeviceVamanaBuilder(D, max_degree=16, l_build=32, batch_size=512)
+    b.add(x)
+    adj = b.adjacency()
+    b2 = DeviceVamanaBuilder(D, max_degree=16, l_build=32, batch_size=512)
+    b2.load(x, adj)
+    assert b2.size == len(x)
+    np.testing.assert_array_equal(b2.adjacency(), adj)
+    # loaded graph accepts further inserts
+    b2.add(clustered[800:1200])
+    assert b2.size == 1200
+
+
+def test_graph_index_device_mode(clustered):
+    from annlite_tpu.enums import Metric
+    from annlite_tpu.index.graph import GraphIndex
+
+    x = clustered
+    idx = GraphIndex(D, metric=Metric.EUCLIDEAN, max_degree=24, ef_search=64,
+                     build_mode='device', build_batch_size=1024)
+    idx.add_with_ids(x, np.arange(len(x)))
+    assert idx.size == len(x)
+    q = x[:10]
+    d, ids = idx.search(q, limit=10)
+    assert (np.diff(d, axis=1) >= -1e-4).all()
+    exact = np.argsort(((q[:, None] - x[None]) ** 2).sum(-1), axis=1)[:, :10]
+    rec = np.mean([len(set(exact[i]) & set(ids[i].tolist())) / 10 for i in range(10)])
+    assert rec > 0.8, f'recall {rec}'
+    # state round-trip across build modes (the artifact is the same)
+    state = idx.state_arrays()
+    idx2 = GraphIndex(D, metric=Metric.EUCLIDEAN, max_degree=24, ef_search=64,
+                      build_mode='device')
+    idx2.load_state_arrays(state)
+    _, ids2 = idx2.search(q, limit=10)
+    np.testing.assert_array_equal(ids, ids2)
+    # incremental insert after load
+    idx2.add_with_ids(x[:100] + 0.01, np.arange(len(x), len(x) + 100))
+    assert idx2.size == len(x) + 100
