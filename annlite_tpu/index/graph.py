@@ -269,16 +269,31 @@ class GraphIndex(BaseIndex):
     # ----- snapshot state -----
 
     def state_arrays(self):
+        # device-built graphs snapshot the full W-wide (R + slack) adjacency:
+        # the slack back-edges carry real recall (device_build.raw_adjacency)
+        adj = (
+            self._graph.raw_adjacency()
+            if hasattr(self._graph, 'raw_adjacency')
+            else self._graph.adjacency()
+        )
         return {
             'kind': np.array('graph'),
             'vectors': self._vectors.copy(),
-            'adjacency': self._graph.adjacency(),
+            'adjacency': adj,
         }
 
     def load_state_arrays(self, state):
         self.reset()
         v = state['vectors']
         if v.size:
-            self._graph.load(v, state['adjacency'])
+            adj = np.asarray(state['adjacency'])
+            if self.build_mode == 'host' and adj.shape[1] > self.max_degree:
+                # W-wide device-built snapshot into the C++ builder: keep the
+                # first R columns (the RobustPruned out-edges; slack columns
+                # hold unpruned back-edge surplus)
+                adj = np.ascontiguousarray(adj[:, : self.max_degree])
+            self._graph.load(v, adj)
             self._vectors = np.asarray(v, dtype=np.float32)
+            if self.build_mode == 'device':
+                self._vectors = self._graph.vectors
         self._dirty = True

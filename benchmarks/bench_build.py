@@ -77,13 +77,15 @@ def main():
     log(f'device build: {t_dev:.1f}s ({N/t_dev:.0f} rows/s)')
     log('stage seconds: ' + ', '.join(f'{k}={v:.1f}' for k, v in sorted(b.stats.items())))
 
-    adj = jnp.asarray(b.adjacency())
     entry = jnp.full((Q, 1), b.medoid, dtype=jnp.int32)
-    for ef in (64, 128):
-        _, ids = beam_search_vectors(
-            adj, entry, jnp.asarray(X), qj, True, k=ef, L=ef, B=16
-        )
-        log(f'device-built graph ef={ef}: recall@10={recall(ids):.4f}')
+    for name, adj_np in (('raw-W', b.raw_adjacency()),
+                         ('consolidated-R', b.adjacency())):
+        adj = jnp.asarray(adj_np)
+        for ef in (64, 128):
+            _, ids = beam_search_vectors(
+                adj, entry, jnp.asarray(X), qj, True, k=ef, L=ef, B=16
+            )
+            log(f'device-built {name} ef={ef}: recall@10={recall(ids):.4f}')
 
     if args.host:
         from annlite_tpu.index.vamana_lib import VamanaGraph
