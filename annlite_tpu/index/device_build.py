@@ -121,7 +121,13 @@ class DeviceVamanaBuilder:
     def adjacency(self) -> np.ndarray:
         """Strict R-degree artifact (RobustPrune applied to rows that grew
         into their slack), for parity with the C++ builder's export.
-        Non-mutating: the live graph keeps its slack edges."""
+        Non-mutating: the live graph keeps its slack edges.
+
+        WARNING: lossy at scale — the batch-built graph's connectivity lives
+        partly in the slack back-edges (at 1M rows the R-pruned subgraph
+        drops to ~0.51 recall@10 vs 0.98 for the W graph).  Prefer
+        ``raw_adjacency`` (what snapshots store) unless a strict R bound is
+        required."""
         adj = self._adj_host[: self.n].copy()
         deg = (adj >= 0).sum(axis=1)
         rows = np.flatnonzero(deg > self.r).astype(np.int32)
