@@ -179,11 +179,24 @@ class PQCodec(BaseCodec):
 
     # ----- encode / decode -----
 
+    # assignment materializes an [M, chunk, K] distance tensor — chunk the
+    # row axis so encoding a multi-million-row corpus stays within HBM
+    ENCODE_CHUNK = 1 << 17
+
     def encode(self, x: np.ndarray) -> np.ndarray:
         self._check_trained()
         x = self._prep(x)
-        codes = _encode_jit(x, jnp.asarray(self._codebooks), self.n_subvectors)
-        return np.asarray(codes).astype(self.code_dtype)
+        cb = jnp.asarray(self._codebooks)
+        n = x.shape[0]
+        if n <= self.ENCODE_CHUNK:
+            codes = _encode_jit(x, cb, self.n_subvectors)
+            return np.asarray(codes).astype(self.code_dtype)
+        out = np.empty((n, self.n_subvectors), dtype=self.code_dtype)
+        for s in range(0, n, self.ENCODE_CHUNK):
+            out[s : s + self.ENCODE_CHUNK] = np.asarray(
+                _encode_jit(x[s : s + self.ENCODE_CHUNK], cb, self.n_subvectors)
+            ).astype(self.code_dtype)
+        return out
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
         self._check_trained()

@@ -31,7 +31,8 @@ import numpy as np
 from ..ops.beam import _resolve_iters, beam_search_vectors_bounded
 
 GROW_CHUNK = 1 << 17  # capacity growth quantum (keeps jit shapes reusable)
-PAD_Q = 1024          # query/prune chunk quantum (ditto)
+PAD_Q = 2048          # query/prune chunk quantum (ditto; larger chunks
+                      # amortize the per-dispatch latency of remote chips)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -444,7 +445,9 @@ def _intra_topk_jit(x, metric_ip: bool, k: int):
             x, x.T, preferred_element_type=jnp.float32
         )
     d = d + jnp.eye(x.shape[0], dtype=d.dtype) * 3.4e38  # exclude self
-    _, idx = jax.lax.top_k(-d, k)
+    # approx_min_k fuses into the producing matmul (exact top_k over a
+    # [P, P] resident tensor costs ~10x; pools tolerate approximation)
+    _, idx = jax.lax.approx_min_k(d, k)
     return idx
 
 
