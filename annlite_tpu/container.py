@@ -296,6 +296,12 @@ class CellContainer:
         yield from self.doc_store.batched_iterator(batch_size)
 
     @property
+    def vec_index(self):
+        """Reference-parity accessor (`annlite/container.py:22-468` exposes
+        `vec_index`); same object as ``self.index``."""
+        return self.index
+
+    @property
     def total_docs(self) -> int:
         return self.doc_store.size
 
