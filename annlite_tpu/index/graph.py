@@ -61,6 +61,10 @@ class GraphIndex(BaseIndex):
         self.n_threads = n_threads
         self.build_mode = build_mode
         self.build_batch_size = build_batch_size
+        # below this predicate selectivity, filtered search switches to a
+        # masked exact scan instead of graph traversal (reference fallback:
+        # `annlite/core/index/hnsw/index.py:151-157`)
+        self.filter_fallback_selectivity = 0.25
         metric_ip = self.metric != Metric.EUCLIDEAN
         if build_mode == 'device':
             from .device_build import DeviceVamanaBuilder
@@ -146,6 +150,23 @@ class GraphIndex(BaseIndex):
             )
         query = self._prep(query)
         self._sync_device()
+        if (
+            mask is not None
+            and self._dev_vectors is not None
+            and float(np.mean(mask)) < self.filter_fallback_selectivity
+        ):
+            # selective predicate: graph traversal would mostly visit
+            # non-passing nodes — fall back to a masked exact scan, the
+            # TPU analogue of the reference's brute-force fallback when
+            # candidates < limit (`annlite/core/index/hnsw/index.py:151-157`)
+            d, ids = _masked_exact_scan(
+                self._dev_vectors,
+                jnp.asarray(query),
+                jnp.asarray(np.asarray(mask, dtype=np.bool_)),
+                self.metric == Metric.EUCLIDEAN,
+                min(limit, self.size),
+            )
+            return np.asarray(d), np.asarray(ids)
         q = query.shape[0]
         ef = max(self.ef_search, 4 * limit)
         entry = jnp.full((q, 1), self._graph.medoid, dtype=jnp.int32)
@@ -191,45 +212,52 @@ class GraphIndex(BaseIndex):
         ef = max(self.ef_search, 4 * limit)
         B, rerank = self.beam_width, self.rerank
         pq = self.pq_codec
-        if pq is not None:
-            from ..codecs.pq import _dist_mat_ip, _dist_mat_l2
+        cb = jnp.asarray(pq.codebooks) if pq is not None else None
+        # NOTE: the large index arrays are jit ARGUMENTS, not closure
+        # captures — closed-over device arrays become program constants,
+        # which bloats the executable (and remote-compile transports reject
+        # multi-hundred-MB programs outright)
+        from functools import partial
 
-            cb = jnp.asarray(pq.codebooks)
+        run = jax.jit(partial(
+            GraphIndex._searcher_impl, use_pq=pq is not None,
+            metric_euclidean=metric_euclidean, cosine=cosine, medoid=medoid,
+            ef=ef, B=B, rerank=rerank, limit=limit,
+        ))
+        return lambda query: run(adj, vecs, codes, cb, query)
 
-        @jax.jit
-        def run(query):
-            q = jnp.asarray(query, dtype=jnp.float32)
-            if cosine:
-                q = l2_normalize(q)
-            entry = jnp.full((q.shape[0], 1), medoid, dtype=jnp.int32)
-            if pq is not None:
-                dtable = (
-                    _dist_mat_l2(q, cb) if metric_euclidean else _dist_mat_ip(q, cb)
-                )
-                d, ids = beam_search_pq(adj, entry, codes, dtable, k=ef, L=ef, B=B)
-                if rerank > 0:
-                    r = min(rerank, ids.shape[1])
-                    cid, cd = ids[:, :r], d[:, :r]
-                    cvec = vecs[jnp.clip(cid, 0, vecs.shape[0] - 1)].astype(
-                        jnp.float32
+    @staticmethod
+    def _searcher_impl(adj, vecs, codes, cb, query, *, use_pq,
+                       metric_euclidean, cosine, medoid, ef, B, rerank, limit):
+        from ..codecs.pq import _dist_mat_ip, _dist_mat_l2
+
+        q = jnp.asarray(query, dtype=jnp.float32)
+        if cosine:
+            q = l2_normalize(q)
+        entry = jnp.full((q.shape[0], 1), medoid, dtype=jnp.int32)
+        if use_pq:
+            dtable = (
+                _dist_mat_l2(q, cb) if metric_euclidean else _dist_mat_ip(q, cb)
+            )
+            d, ids = beam_search_pq(adj, entry, codes, dtable, k=ef, L=ef, B=B)
+            if rerank > 0:
+                r = min(rerank, ids.shape[1])
+                cid, cd = ids[:, :r], d[:, :r]
+                cvec = vecs[jnp.clip(cid, 0, vecs.shape[0] - 1)].astype(jnp.float32)
+                if metric_euclidean:
+                    rd = jnp.sum((q[:, None, :] - cvec) ** 2, axis=-1)
+                else:
+                    rd = 1.0 - jnp.einsum(
+                        'qd,qrd->qr', q, cvec, preferred_element_type=jnp.float32
                     )
-                    if metric_euclidean:
-                        rd = jnp.sum((q[:, None, :] - cvec) ** 2, axis=-1)
-                    else:
-                        rd = 1.0 - jnp.einsum(
-                            'qd,qrd->qr', q, cvec,
-                            preferred_element_type=jnp.float32,
-                        )
-                    rd = jnp.where(cd < BIG / 2, rd, BIG)
-                    neg, pos = jax.lax.top_k(-rd, min(limit, r))
-                    return -neg, jnp.take_along_axis(cid, pos, axis=1)
-            else:
-                d, ids = beam_search_vectors(
-                    adj, entry, vecs, q, metric_euclidean, k=ef, L=ef, B=B
-                )
-            return d[:, :limit], ids[:, :limit]
-
-        return run
+                rd = jnp.where(cd < BIG / 2, rd, BIG)
+                neg, pos = jax.lax.top_k(-rd, min(limit, r))
+                return -neg, jnp.take_along_axis(cid, pos, axis=1)
+        else:
+            d, ids = beam_search_vectors(
+                adj, entry, vecs, q, metric_euclidean, k=ef, L=ef, B=B
+            )
+        return d[:, :limit], ids[:, :limit]
 
     def _rerank_stage(self, query, cand_ids, cand_d, limit, metric_euclidean):
         r = min(self.rerank, cand_ids.shape[1])
@@ -297,3 +325,25 @@ class GraphIndex(BaseIndex):
             if self.build_mode == 'device':
                 self._vectors = self._graph.vectors
         self._dirty = True
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _masked_exact_scan(vecs, q, mask, metric_euclidean: bool, limit: int):
+    """Exact scan restricted to mask-passing rows (graph filter fallback).
+    ``vecs`` may be a capacity-padded buffer — ``mask`` has the live length
+    and padding rows score BIG."""
+    v = vecs[: mask.shape[0]].astype(jnp.float32)
+    if metric_euclidean:
+        d = (
+            jnp.sum(q * q, axis=1)[:, None]
+            + jnp.sum(v * v, axis=1)[None, :]
+            - 2.0 * jnp.dot(q, v.T, precision=jax.lax.Precision.HIGHEST)
+        )
+    else:
+        d = 1.0 - jnp.dot(q, v.T, precision=jax.lax.Precision.HIGHEST)
+    d = jnp.where(mask[None, :], d, BIG)
+    neg, ids = jax.lax.top_k(-d, limit)
+    return -neg, ids

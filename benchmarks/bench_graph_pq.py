@@ -72,23 +72,44 @@ def main():
         ids = np.asarray(ids)[:, :TOPK]
         return float(np.mean([len(set(gt[i]) & set(ids[i])) / TOPK for i in range(Q)]))
 
-    log(f'training PQ m={args.m} on 100k sample')
-    pq = PQCodec(D, n_subvectors=args.m, n_clusters=256, metric=Metric.COSINE)
-    t0 = time.perf_counter()
-    pq.fit(X[:100_000])
-    log(f'PQ fit: {time.perf_counter() - t0:.1f}s')
+    pq_path = Path(f'/tmp/gpq_pq_{N}_{args.m}')
+    adj_path = Path(f'/tmp/gpq_adj_{N}_{args.m}.npz')
+    if pq_path.exists():
+        pq = PQCodec.load(pq_path)
+        log('loaded cached PQ codec')
+    else:
+        log(f'training PQ m={args.m} on 100k sample')
+        pq = PQCodec(D, n_subvectors=args.m, n_clusters=256, metric=Metric.COSINE)
+        t0 = time.perf_counter()
+        pq.fit(X[:100_000])
+        log(f'PQ fit: {time.perf_counter() - t0:.1f}s')
+        pq.dump(pq_path)
 
-    log(f'device graph build: N={N}')
     g = GraphIndex(D, metric=Metric.COSINE, max_degree=32, l_build=64,
                    ef_search=128, pq_codec=pq, rerank=args.rerank,
                    build_mode='device', build_batch_size=args.batch)
-    t0 = time.perf_counter()
-    BB = 100_000
-    for s in range(0, N, BB):
-        g.add_with_ids(X[s : s + BB], np.arange(s, min(s + BB, N)))
-        log(f'  {min(s + BB, N)} rows ({min(s + BB, N)/(time.perf_counter()-t0):.0f} rows/s)')
-    t_build = time.perf_counter() - t0
-    log(f'graph build: {t_build:.1f}s ({N/t_build:.0f} rows/s)')
+    if adj_path.exists():
+        z = np.load(adj_path)
+        log('loading cached graph (re-normalizing vectors)')
+        xn = np.empty_like(X)
+        for s in range(0, N, 200_000):
+            xn[s : s + 200_000] = np.asarray(
+                l2_normalize(jnp.asarray(X[s : s + 200_000]))
+            )
+        g.load_state_arrays(
+            {'kind': np.array('graph'), 'vectors': xn, 'adjacency': z['adj']}
+        )
+    else:
+        log(f'device graph build: N={N}')
+        t0 = time.perf_counter()
+        BB = 100_000
+        for s in range(0, N, BB):
+            g.add_with_ids(X[s : s + BB], np.arange(s, min(s + BB, N)))
+            log(f'  {min(s + BB, N)} rows '
+                f'({min(s + BB, N)/(time.perf_counter()-t0):.0f} rows/s)')
+        t_build = time.perf_counter() - t0
+        log(f'graph build: {t_build:.1f}s ({N/t_build:.0f} rows/s)')
+        np.savez(adj_path, adj=g._graph.raw_adjacency())
 
     log('syncing device state (PQ encode of full corpus)')
     t0 = time.perf_counter()

@@ -135,3 +135,24 @@ def test_device_searcher_pq_rerank(data):
     assert (np.diff(d, axis=1) >= -1e-4).all()
     # self-match: rerank is exact, so the query row itself must be rank 0
     assert np.mean(ids[:, 0] == np.arange(8)) >= 0.9
+
+
+def test_filtered_selective_fallback(data):
+    """Selective predicates route to the masked exact scan (the reference's
+    brute-force fallback, `annlite/core/index/hnsw/index.py:151-157`)."""
+    idx = GraphIndex(D, metric=Metric.EUCLIDEAN, max_degree=24, ef_search=64)
+    idx.add_with_ids(data, np.arange(N))
+    mask = np.zeros(N, dtype=bool)
+    mask[::20] = True  # 5% selectivity
+    q = data[:8]
+    d, ids = idx.search(q, limit=10, mask=mask)
+    assert ids.shape == (8, 10)
+    assert mask[ids].all(), 'match violates predicate'
+    # exact filtered GT: fallback is an exact scan, so recall must be 1.0
+    dist = ((q[:, None] - data[None]) ** 2).sum(-1)
+    dist[:, ~mask] = np.inf
+    gt = np.argsort(dist, axis=1)[:, :10]
+    for i in range(8):
+        assert set(ids[i].tolist()) == set(gt[i].tolist())
+    # distances sorted
+    assert (np.diff(d, axis=1) >= -1e-4).all()
