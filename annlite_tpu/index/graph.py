@@ -213,6 +213,13 @@ class GraphIndex(BaseIndex):
         B, rerank = self.beam_width, self.rerank
         pq = self.pq_codec
         cb = jnp.asarray(pq.codebooks) if pq is not None else None
+        # OPQ: queries must enter the codes' rotated space for the dtable
+        # (rerank still uses the original space — stored vectors are unrotated)
+        rot = (
+            jnp.asarray(pq.rotation)
+            if pq is not None and hasattr(pq, 'rotation')
+            else None
+        )
         # NOTE: the large index arrays are jit ARGUMENTS, not closure
         # captures — closed-over device arrays become program constants,
         # which bloats the executable (and remote-compile transports reject
@@ -224,10 +231,10 @@ class GraphIndex(BaseIndex):
             metric_euclidean=metric_euclidean, cosine=cosine, medoid=medoid,
             ef=ef, B=B, rerank=rerank, limit=limit,
         ))
-        return lambda query: run(adj, vecs, codes, cb, query)
+        return lambda query: run(adj, vecs, codes, cb, rot, query)
 
     @staticmethod
-    def _searcher_impl(adj, vecs, codes, cb, query, *, use_pq,
+    def _searcher_impl(adj, vecs, codes, cb, rot, query, *, use_pq,
                        metric_euclidean, cosine, medoid, ef, B, rerank, limit):
         from ..codecs.pq import _dist_mat_ip, _dist_mat_l2
 
@@ -236,8 +243,12 @@ class GraphIndex(BaseIndex):
             q = l2_normalize(q)
         entry = jnp.full((q.shape[0], 1), medoid, dtype=jnp.int32)
         if use_pq:
+            q_enc = q if rot is None else jnp.dot(
+                q, rot, precision=jax.lax.Precision.HIGHEST
+            )
             dtable = (
-                _dist_mat_l2(q, cb) if metric_euclidean else _dist_mat_ip(q, cb)
+                _dist_mat_l2(q_enc, cb) if metric_euclidean
+                else _dist_mat_ip(q_enc, cb)
             )
             d, ids = beam_search_pq(adj, entry, codes, dtable, k=ef, L=ef, B=B)
             if rerank > 0:

@@ -156,3 +156,20 @@ def test_filtered_selective_fallback(data):
         assert set(ids[i].tolist()) == set(gt[i].tolist())
     # distances sorted
     assert (np.diff(d, axis=1) >= -1e-4).all()
+
+
+def test_device_searcher_opq_matches_eager(data):
+    """OPQ rotation must be applied inside the jitted searcher too."""
+    import jax.numpy as jnp
+    from annlite_tpu.codecs.opq import OPQCodec
+
+    pq = OPQCodec(D, n_subvectors=4, n_clusters=16, metric=Metric.EUCLIDEAN,
+                  opq_iters=2)
+    pq.fit(data[:1000])
+    idx = GraphIndex(D, metric=Metric.EUCLIDEAN, max_degree=24, ef_search=64,
+                     pq_codec=pq, rerank=50)
+    idx.add_with_ids(data, np.arange(N))
+    d_e, ids_e = idx.search(data[:8], limit=10)
+    run = idx.device_searcher(limit=10)
+    d_j, ids_j = (np.asarray(a) for a in run(jnp.asarray(data[:8])))
+    np.testing.assert_array_equal(ids_e, ids_j)
