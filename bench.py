@@ -345,6 +345,43 @@ def main():
     )
     ivf_qps = QB / t_ivf
 
+    # ---------------- Graph: device-built Vamana @ 131k, 768-d ----------------
+    log('graph: device Vamana build (131k, 768-d)')
+    from annlite_tpu.index.device_build import DeviceVamanaBuilder
+    from annlite_tpu.ops.beam import beam_search_vectors
+
+    GN = 131_072
+    gx = (centers_np[labels_1m[:GN]]
+          + rng.normal(size=(GN, D2))).astype(np.float32)
+    t0g = time.perf_counter()
+    gb = DeviceVamanaBuilder(D2, max_degree=32, l_build=64, batch_size=8192)
+    gb.add(gx)
+    t_gbuild = time.perf_counter() - t0g
+    log(f'graph build {t_gbuild:.1f}s ({GN/t_gbuild:.0f} rows/s)')
+    adj_g = jnp.asarray(gb.raw_adjacency())  # W-wide serving graph
+    gxd = jnp.asarray(gx)
+    gt_g = np.asarray(exact_l2(jnp.asarray(qv2), gxd))
+    entry_g = jnp.full((Q, 1), gb.medoid, dtype=jnp.int32)
+
+    @jax.jit
+    def graph_chain(adj, vecs, qv, carry):
+        d, ids = beam_search_vectors(
+            adj, entry_g, vecs, qv + carry * 1e-12, True, k=128, L=128, B=16
+        )
+        return d, ids, d[0, 0]
+
+    ids_g = np.asarray(graph_chain(adj_g, gxd, jnp.asarray(qv2), carry0)[1])[:, :TOPK]
+    recall_g = float(
+        np.mean([len(set(gt_g[i]) & set(ids_g[i])) / TOPK for i in range(Q)])
+    )
+    qv2_sets = [jnp.asarray(qv2 + 1e-4 * i) for i in range(4)]
+    t_graph = chain_time(
+        graph_chain, lambda i: (adj_g, gxd, qv2_sets[i % 4]), carry0
+    )
+    graph_qps = Q / t_graph
+    log(f'graph ef=128: {t_graph*1e3:.2f} ms/batch recall@10={recall_g:.4f}')
+    del gxd, adj_g
+
     baseline_qps = 64 / 5.778  # reference README.md:350, batch=64 @ 1M
     result = {
         'metric': 'qps_1M_768d_batch64_flat_cosine_top10',
@@ -367,6 +404,10 @@ def main():
             'ivfpq_1M_batch8_probe8_rerank100_qps': round(ivf_qps, 1),
             'ivfpq_1M_probe8_rerank100_recall_at_10': round(recall_ivf, 4),
             'ivfpq_scanned_fraction': round(scanned_frac, 4),
+            'graph_131k_768d_device_build_s': round(t_gbuild, 1),
+            'graph_131k_768d_build_rows_per_s': round(GN / t_gbuild, 0),
+            'graph_131k_768d_ef128_batch64_qps': round(graph_qps, 1),
+            'graph_131k_768d_ef128_recall_at_10': round(recall_g, 4),
             'baseline_qps': round(baseline_qps, 2),
             'baseline_recall': '<1.0 (HNSW ef=50)',
             'device': str(jax.devices()[0]),
