@@ -50,6 +50,12 @@ def _block_scores(qbf_ref, qsc_ref, x_ref, rs_ref, bias_ref, coef, packed):
         # two half-width bf16 planes in VMEM; every int4 value is exact in
         # bf16 so this reproduces the i4 x i8 integer contraction bit-exactly
         d2 = x_ref.shape[1]
+        # int32 lanes: Mosaic only legalizes 32-bit shifts (int8/int16
+        # variants fail to lower: 'failed to legalize arith.shli').  The
+        # per-corpus-element unpack doesn't amortize across queries, which
+        # is why int4 only ~ties int8 at batch 64 despite half the bytes
+        # (int4 1.17 ms vs int8 1.18 ms; int4 wins batch-1: 0.78 vs 1.11 —
+        # benchmarks/profile_int4.py).
         x32 = x_ref[:].astype(jnp.int32)
         lo = jax.lax.shift_right_arithmetic(
             jax.lax.shift_left(x32, 28), 28
