@@ -103,7 +103,7 @@ def _gather_rerank_pallas(q, x_f32, cand, metric_val: int):
         grid=(nq,),
         in_specs=[
             pl.BlockSpec((nq, d), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (nq, r * 8), lambda i, c: (0, 0), memory_space=pltpu.VMEM

@@ -329,7 +329,9 @@ def test_flat_index_int4_mode():
     idx.add_with_ids(x, np.arange(n))
     dists, ids = idx.search(x[:4], limit=5)
     assert (ids[:, 0] == np.arange(4)).all()
-    assert (dists[:, 0] < 1e-5).all()
+    # self-distance after the exact f32 rerank: the ||a||²+||b||²-2ab form
+    # cancels to ~±1e-4 at D=256 on TPU (can go slightly negative)
+    assert (np.abs(dists[:, 0]) < 1e-3).all()
     # snapshot roundtrip keeps the packed store consistent
     st = idx.state_arrays()
     idx2 = FlatIndex(d, metric=Metric.EUCLIDEAN, scan_mode='int4')
