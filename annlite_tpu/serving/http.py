@@ -45,8 +45,23 @@ def doc_to_json(d: Doc, include_embedding: bool = False) -> Dict:
     return out
 
 
-def make_app(executor: AnnLiteIndexer) -> web.Application:
+def make_app(
+    executor: AnnLiteIndexer, batch_window_ms: float = 3.0,
+    max_batch: int = 256,
+) -> web.Application:
     app = web.Application(client_max_size=1024 * 1024 * 256)
+    batcher = None
+    if batch_window_ms > 0:
+        from .batcher import QueryBatcher
+
+        batcher = QueryBatcher(
+            executor.search, max_batch=max_batch, max_wait_ms=batch_window_ms
+        )
+
+        async def _close_batcher(app_):
+            await batcher.close()
+
+        app.on_cleanup.append(_close_batcher)
 
     def json_docs(payload) -> List[Doc]:
         return [doc_from_json(d) for d in payload.get('docs', [])]
@@ -85,7 +100,12 @@ def make_app(executor: AnnLiteIndexer) -> web.Application:
 
     async def h_search(request):
         p = await request.json()
-        docs = await _run(executor.search, json_docs(p), p.get('parameters'))
+        if batcher is not None:
+            # continuous micro-batching: concurrent requests with equal
+            # parameters share one device dispatch (serving/batcher.py)
+            docs = await batcher.submit(json_docs(p), p.get('parameters'))
+        else:
+            docs = await _run(executor.search, json_docs(p), p.get('parameters'))
         return web.json_response({'results': [doc_to_json(d) for d in docs]})
 
     async def h_filter(request):
@@ -103,7 +123,10 @@ def make_app(executor: AnnLiteIndexer) -> web.Application:
         )
 
     async def h_status(request):
-        return web.json_response(await _run(executor.status))
+        st = await _run(executor.status)
+        if batcher is not None:
+            st['batcher'] = batcher.stats
+        return web.json_response(st)
 
     async def h_backup(request):
         p = await request.json() if request.can_read_body else {}

@@ -186,3 +186,47 @@ def test_grpc_roundtrip(tmp_path, rng):
         client.close()
     finally:
         server.stop()
+
+
+def test_http_concurrent_search_batching(tmp_path, rng):
+    """Concurrent /search requests with equal parameters share device
+    dispatches (serving/batcher.py) and each gets its own results."""
+    import json
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    port = 18473
+    ex = AnnLiteIndexer(n_dim=D, data_path=str(tmp_path / 'srv_b'))
+    server = Server(ex, port=port).start()
+    try:
+        base = f'http://127.0.0.1:{port}'
+
+        def post(ep, payload):
+            req = urllib.request.Request(
+                base + ep,
+                data=json.dumps(payload).encode(),
+                headers={'Content-Type': 'application/json'},
+            )
+            return json.loads(urllib.request.urlopen(req, timeout=60).read())
+
+        docs = [
+            {'id': f'doc{i}', 'embedding': rng.standard_normal(D).tolist()}
+            for i in range(50)
+        ]
+        post('/index', {'docs': docs})
+        ex.flush()
+        time.sleep(0.3)
+
+        def one(i):
+            r = post('/search', {'docs': [docs[i]], 'parameters': {'limit': 3}})
+            return r['results'][0]['matches'][0]['id']
+
+        with ThreadPoolExecutor(16) as pool:
+            got = list(pool.map(one, range(32)))
+        assert got == [f'doc{i}' for i in range(32)]
+        st = json.loads(urllib.request.urlopen(base + '/status', timeout=30).read())
+        assert st['batcher']['batched_requests'] == 32
+        # coalescing happened: strictly fewer device dispatches than requests
+        assert st['batcher']['device_dispatches'] < 32
+    finally:
+        server.stop()
