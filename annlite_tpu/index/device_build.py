@@ -202,9 +202,11 @@ class DeviceVamanaBuilder:
         p = len(x)
         k = self.intra_k
         pp = _bucket(p)
-        xp = np.full((pp, self.dim), 1e6, dtype=np.float32)
+        xp = np.zeros((pp, self.dim), dtype=np.float32)
         xp[:p] = x
-        idx = np.asarray(_intra_topk_jit(jnp.asarray(xp), self.metric_ip, k))
+        idx = np.asarray(
+            _intra_topk_jit(jnp.asarray(xp), jnp.int32(p), self.metric_ip, k)
+        )
         idx = idx[:p]
         out = np.where((idx >= 0) & (idx < p), idx + base, -1).astype(np.int32)
         return out
@@ -436,7 +438,7 @@ class DeviceVamanaBuilder:
 
 
 @partial(jax.jit, static_argnames=('metric_ip', 'k'))
-def _intra_topk_jit(x, metric_ip: bool, k: int):
+def _intra_topk_jit(x, p, metric_ip: bool, k: int):
     if metric_ip:
         d = 1.0 - jnp.dot(x, x.T, preferred_element_type=jnp.float32)
     else:
@@ -445,6 +447,11 @@ def _intra_topk_jit(x, metric_ip: bool, k: int):
             x, x.T, preferred_element_type=jnp.float32
         )
     d = d + jnp.eye(x.shape[0], dtype=d.dtype) * 3.4e38  # exclude self
+    # mask pad columns explicitly: a distance-based pad value only works for
+    # L2 (for IP/cosine a pad row can score arbitrarily well), and even for
+    # L2 only when the pad point is far — iota >= live-count is metric-proof
+    pad_col = jnp.arange(x.shape[0], dtype=jnp.int32) >= p
+    d = jnp.where(pad_col[None, :], 3.4e38, d)
     # approx_min_k fuses into the producing matmul (exact top_k over a
     # [P, P] resident tensor costs ~10x; pools tolerate approximation)
     _, idx = jax.lax.approx_min_k(d, k)

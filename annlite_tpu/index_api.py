@@ -70,7 +70,13 @@ class AnnLite:
         self.n_cells = n_cells
         self.n_subvectors = n_subvectors
         self.n_clusters = n_clusters
-        self.n_probe = max(n_probe, n_cells if n_cells else 1) if n_cells > 1 else 1
+        # NOTE: the reference clamps n_probe UP to n_cells
+        # (`annlite/index.py:94` max(n_probe, n_cells)) — i.e. it always
+        # probes every cell and IVF pruning is unreachable through the
+        # facade.  That is a bug, not parity worth keeping: we clamp DOWN so
+        # `AnnLite(n_cells=1024, n_probe=8)` really scans ~n_probe cells
+        # (the blocked IVF kernel prunes to ~9% of blocks at probe-8).
+        self.n_probe = min(n_probe, n_cells) if n_cells > 1 else 1
         self.n_components = n_components
         self.read_only = read_only
         self.exact_topk = exact_topk

@@ -33,6 +33,16 @@ BIG = 3.4e38
 NO_ID = 2**29
 
 
+def _check_corpus_fits(n: int):
+    """Real ids >= NO_ID would alias the empty-slot sentinel and be silently
+    dropped — fail loudly instead (the dedup key id*2+1 caps ids at 2**29)."""
+    if n >= NO_ID:
+        raise ValueError(
+            f'corpus of {n} rows exceeds the beam id ceiling ({NO_ID}); '
+            f'shard the index (parallel/sharded_index.py) below 2**29 rows'
+        )
+
+
 def make_vector_scorer(vectors, queries, metric_euclidean: bool):
     """Full-precision scorer: ids [Q, C] -> dists [Q, C].  ``vectors`` may be
     bf16; masked ids (< 0 or >= N) score BIG."""
@@ -165,6 +175,7 @@ def beam_search_vectors_bounded(
     (a traced scalar, so batches of different live sizes share one compiled
     program) are invalid.  Used by graph construction, where the buffers are
     pre-grown and the batch being inserted must not route through itself."""
+    _check_corpus_fits(adjacency.shape[0])
     base = make_vector_scorer(vectors, queries, metric_euclidean)
 
     def score(ids):
@@ -181,6 +192,7 @@ def beam_search_vectors(
     entry_ids [Q, E]; returns (dists [Q, k], ids [Q, k]) — unreachable slots
     have id NO_ID.  ``L`` plays the role of hnswlib's ``ef``
     (`hnswalg.h:243-329`)."""
+    _check_corpus_fits(adjacency.shape[0])
     B = min(B, L)
     iters = _resolve_iters(iters, L, B)
     return _beam_vec(
@@ -193,6 +205,7 @@ def beam_search_pq(
     k: int = 10, L: int = 64, B: int = 16, iters: Optional[int] = None,
 ):
     """ADC beam search over PQ codes [N, M] with per-query LUT [Q, M, K]."""
+    _check_corpus_fits(adjacency.shape[0])
     B = min(B, L)
     iters = _resolve_iters(iters, L, B)
     return _beam_pq(adjacency, entry_ids, codes, dtable, L, B, iters, k)

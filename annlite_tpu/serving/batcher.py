@@ -62,42 +62,58 @@ class QueryBatcher:
         while True:
             item = await self._queue.get()
             batch = [item]
-            n = len(item[1])
-            deadline = loop.time() + self.max_wait
-            while n < self.max_batch:
-                timeout = deadline - loop.time()
-                if timeout <= 0:
-                    break
-                try:
-                    nxt = await asyncio.wait_for(self._queue.get(), timeout)
-                except asyncio.TimeoutError:
-                    break
-                batch.append(nxt)
-                n += len(nxt[1])
+            # the entire per-batch body is guarded: an exception anywhere
+            # (grouping, slicing a short result, ...) must fail the batch's
+            # futures and keep the worker alive — otherwise every already-
+            # dequeued request hangs until client timeout and the worker only
+            # restarts on the NEXT submit
+            try:
+                await self._process_batch(loop, batch)
+            except asyncio.CancelledError:
+                raise
+            except Exception as e:
+                for _k, _d, _p, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
 
-            # group by parameters key: one device dispatch per group
-            groups: Dict[str, List] = {}
-            for key, docs, params, fut in batch:
-                groups.setdefault(key, []).append((docs, params, fut))
-            for key, members in groups.items():
-                merged: List[Doc] = []
-                offsets = [0]
-                for docs, _p, _f in members:
-                    merged.extend(docs)
-                    offsets.append(len(merged))
-                params = members[0][1]
-                try:
-                    out = await loop.run_in_executor(
-                        None, lambda m=merged, p=params: self._search(m, p)
-                    )
-                    self.n_dispatches += 1
-                    for i, (_d, _p, fut) in enumerate(members):
-                        if not fut.done():
-                            fut.set_result(out[offsets[i]: offsets[i + 1]])
-                except Exception as e:  # propagate to every waiter
-                    for _d, _p, fut in members:
-                        if not fut.done():
-                            fut.set_exception(e)
+    async def _process_batch(self, loop, batch: List):
+        item = batch[0]
+        n = len(item[1])
+        deadline = loop.time() + self.max_wait
+        while n < self.max_batch:
+            timeout = deadline - loop.time()
+            if timeout <= 0:
+                break
+            try:
+                nxt = await asyncio.wait_for(self._queue.get(), timeout)
+            except asyncio.TimeoutError:
+                break
+            batch.append(nxt)
+            n += len(nxt[1])
+
+        # group by parameters key: one device dispatch per group
+        groups: Dict[str, List] = {}
+        for key, docs, params, fut in batch:
+            groups.setdefault(key, []).append((docs, params, fut))
+        for key, members in groups.items():
+            merged: List[Doc] = []
+            offsets = [0]
+            for docs, _p, _f in members:
+                merged.extend(docs)
+                offsets.append(len(merged))
+            params = members[0][1]
+            try:
+                out = await loop.run_in_executor(
+                    None, lambda m=merged, p=params: self._search(m, p)
+                )
+                self.n_dispatches += 1
+                for i, (_d, _p, fut) in enumerate(members):
+                    if not fut.done():
+                        fut.set_result(out[offsets[i]: offsets[i + 1]])
+            except Exception as e:  # propagate to every waiter
+                for _d, _p, fut in members:
+                    if not fut.done():
+                        fut.set_exception(e)
 
     async def close(self):
         """Cancel the worker (register on the app's cleanup hook)."""

@@ -172,3 +172,33 @@ def test_graph_index_device_mode(clustered):
     # incremental insert after load
     idx2.add_with_ids(x[:100] + 0.01, np.arange(len(x), len(x) + 100))
     assert idx2.size == len(x) + 100
+
+
+def test_builder_cosine_partial_batches(rng):
+    """Cosine (metric_ip) build with tail/partial batches: intra-pool pad
+    columns must be masked by index, not by pad VALUE — for IP metrics a pad
+    row can out-score every real neighbor (ADVICE r1: pads of 1e6 made
+    d = 1 - 1e6*sum(q) ≪ 0 whenever coordinate sums are positive, emptying
+    the intra pools of small/tail cosine batches)."""
+    from annlite_tpu.enums import Metric
+    from annlite_tpu.index.graph import GraphIndex
+    from annlite_tpu.math import l2_normalize
+
+    centers = np.abs(rng.standard_normal((6, D))).astype(np.float32) * 3 + 1
+    n = 1500  # first batch 1024 (pads to 2048), tail 476 → both pad-heavy
+    x = (centers[rng.integers(0, 6, n)]
+         + 0.3 * rng.standard_normal((n, D))).astype(np.float32)
+    x = np.abs(x)  # positive coordinate sums: the regression trigger
+
+    idx = GraphIndex(D, metric=Metric.COSINE, max_degree=24, ef_search=64,
+                     build_mode='device', build_batch_size=1024)
+    idx.add_with_ids(x, np.arange(n))
+    q = x[:16]
+    _, ids = idx.search(q, limit=10)
+    xn = np.asarray(l2_normalize(x))
+    qn = np.asarray(l2_normalize(q))
+    exact = np.argsort(1.0 - qn @ xn.T, axis=1)[:, :10]
+    rec = np.mean(
+        [len(set(exact[i]) & set(ids[i].tolist())) / 10 for i in range(16)]
+    )
+    assert rec > 0.8, f'cosine recall {rec}'

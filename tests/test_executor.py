@@ -226,7 +226,65 @@ def test_http_concurrent_search_batching(tmp_path, rng):
         assert got == [f'doc{i}' for i in range(32)]
         st = json.loads(urllib.request.urlopen(base + '/status', timeout=30).read())
         assert st['batcher']['batched_requests'] == 32
-        # coalescing happened: strictly fewer device dispatches than requests
-        assert st['batcher']['device_dispatches'] < 32
+        # timing-dependent: 32 sequential completions CAN legally produce 32
+        # dispatches; coalescing itself is proven deterministically in
+        # test_batcher_coalesces_under_load below
+        assert st['batcher']['device_dispatches'] <= 32
     finally:
         server.stop()
+
+
+def test_batcher_coalesces_under_load():
+    """Deterministic coalescing proof: 8 concurrent submits with identical
+    parameters and max_batch=8 must share exactly ONE device dispatch (the
+    window closes when the pending-query count reaches max_batch, so no
+    timing assumptions)."""
+    import asyncio
+
+    from annlite_tpu.serving.batcher import QueryBatcher
+
+    calls = []
+
+    def search_fn(docs, params):
+        calls.append(len(docs))
+        return [f'r{i}' for i in range(len(docs))]
+
+    async def main():
+        b = QueryBatcher(search_fn, max_batch=8, max_wait_ms=5000.0)
+        outs = await asyncio.gather(
+            *(b.submit([f'd{i}'], {'limit': 3}) for i in range(8))
+        )
+        assert [o for out in outs for o in out] == [f'r{i}' for i in range(8)]
+        assert b.n_dispatches == 1
+        assert calls == [8]
+        await b.close()
+
+    asyncio.run(main())
+
+
+def test_batcher_worker_survives_failures():
+    """A failing search_fn fails its waiters but leaves the worker alive for
+    subsequent requests (serving/batcher.py per-batch guard)."""
+    import asyncio
+
+    from annlite_tpu.serving.batcher import QueryBatcher
+
+    state = {'fail': True}
+
+    def search_fn(docs, params):
+        if state['fail']:
+            raise RuntimeError('boom')
+        return list(docs)
+
+    async def main():
+        b = QueryBatcher(search_fn, max_batch=4, max_wait_ms=50.0)
+        results = await asyncio.gather(
+            b.submit(['a'], None), b.submit(['b'], None),
+            return_exceptions=True,
+        )
+        assert all(isinstance(r, RuntimeError) for r in results)
+        state['fail'] = False
+        assert await b.submit(['c'], None) == ['c']
+        await b.close()
+
+    asyncio.run(main())
