@@ -63,6 +63,12 @@ class AnnLiteIndexer:
         self._max_length_queue = 2 * self._index_batch_size
         self._index_lock = threading.RLock()
         self._stop = False
+        # poison docs are quarantined here instead of killing the ingest
+        # loop (reference pattern: `annlite/executor.py:141-175` keeps the
+        # loop alive across requests); bounded so a poison flood can't OOM
+        self._dead_letter: List[Dict] = []
+        self._dead_letter_cap = 1024
+        self._n_quarantined = 0
         self._warmup_device()
         self._start_index_loop()
 
@@ -83,25 +89,49 @@ class AnnLiteIndexer:
 
     def _start_index_loop(self):
         def _index_loop():
-            try:
-                while not self._stop:
-                    if not self._data_buffer:
-                        time.sleep(0.05)
-                        continue
-                    with self._index_lock:
-                        n = min(len(self._data_buffer), self._index_batch_size)
-                        batch, self._data_buffer = (
-                            self._data_buffer[:n],
-                            self._data_buffer[n:],
-                        )
+            while not self._stop:
+                if not self._data_buffer:
+                    time.sleep(0.05)
+                    continue
+                with self._index_lock:
+                    n = min(len(self._data_buffer), self._index_batch_size)
+                    batch, self._data_buffer = (
+                        self._data_buffer[:n],
+                        self._data_buffer[n:],
+                    )
+                    try:
                         self._index.index(batch)
                         self.logger.debug(f'indexed {n} docs')
-            except Exception:
-                self.logger.error(traceback.format_exc())
-                raise
+                    except Exception:
+                        # one bad doc must not poison the batch or kill the
+                        # loop: retry per-doc, quarantine the failures
+                        self.logger.warning(
+                            f'batch of {n} failed, retrying per-doc:\n'
+                            f'{traceback.format_exc()}'
+                        )
+                        self._index_one_by_one(batch)
 
         self._index_thread = threading.Thread(target=_index_loop, daemon=True)
         self._index_thread.start()
+
+    def _index_one_by_one(self, batch: List[Doc]):
+        """Per-doc retry of a failed batch; failures land in the
+        dead-letter list (surfaced via /status) instead of raising."""
+        for doc in batch:
+            try:
+                self._index.index([doc])
+            except Exception as e:
+                self._n_quarantined += 1
+                if len(self._dead_letter) < self._dead_letter_cap:
+                    self._dead_letter.append(
+                        {'id': getattr(doc, 'id', None), 'error': repr(e)}
+                    )
+
+    def _check_loop_alive(self):
+        if not self._index_thread.is_alive() and not self._stop:
+            raise RuntimeError(
+                'the ingest loop is dead — the executor must be recreated'
+            )
 
     def flush(self):
         """Block until the write buffer is fully drained AND the in-flight
@@ -110,6 +140,7 @@ class AnnLiteIndexer:
             with self._index_lock:
                 if not self._data_buffer:
                     return
+            self._check_loop_alive()
             time.sleep(0.01)
 
     # ------------------------------------------------------------------
@@ -119,8 +150,10 @@ class AnnLiteIndexer:
     def index(self, docs: Optional[List[Doc]] = None, parameters: Dict = None, **kw):
         if not docs:
             return
-        # backpressure (reference `executor.py:135-136`)
+        # backpressure (reference `executor.py:135-136`), bounded: if the
+        # ingest loop died the wait would otherwise spin forever
         while len(self._data_buffer) >= self._max_length_queue:
+            self._check_loop_alive()
             time.sleep(0.001)
         with self._index_lock:
             self._data_buffer.extend(docs)
@@ -201,6 +234,8 @@ class AnnLiteIndexer:
         stat = dict(self._index.stat)
         stat['shard_id'] = self.shard_id
         stat['buffer_size'] = len(self._data_buffer)
+        stat['quarantined_docs'] = self._n_quarantined
+        stat['dead_letter'] = list(self._dead_letter)
         return stat
 
     def backup(self, parameters: Dict = None, **kw):

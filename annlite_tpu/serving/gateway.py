@@ -10,7 +10,19 @@ no extra deps) — suitable for host-level sharding; on-chip scale-out uses
 """
 import json
 import urllib.request
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional
+
+
+class ShardError(RuntimeError):
+    """One or more shards failed a broadcast; carries per-shard failures."""
+
+    def __init__(self, failures: Dict[str, str]):
+        self.failures = failures
+        super().__init__(
+            'shard failures: '
+            + '; '.join(f'{u}: {e}' for u, e in failures.items())
+        )
 
 
 class Gateway:
@@ -20,6 +32,9 @@ class Gateway:
         self.shard_urls = list(shard_urls)
         self.timeout = timeout
         self._rr = 0
+        # broadcasts fan out concurrently: query latency is max over shards,
+        # not sum (the reference's Flow gateway also fans out concurrently)
+        self._pool = ThreadPoolExecutor(max_workers=max(4, len(shard_urls)))
 
     def _post(self, url: str, endpoint: str, payload: Dict) -> Dict:
         req = urllib.request.Request(
@@ -44,8 +59,28 @@ class Gateway:
 
     # ----- broadcast + gather (polling ALL) -----
 
-    def _broadcast(self, endpoint: str, payload: Dict) -> List[Dict]:
-        return [self._post(u, endpoint, payload) for u in self.shard_urls]
+    def _broadcast(
+        self, endpoint: str, payload: Dict, allow_partial: bool = False
+    ) -> List[Optional[Dict]]:
+        """Concurrent fan-out with per-shard error isolation.  Strict mode
+        (writes) raises :class:`ShardError` naming every failed shard;
+        ``allow_partial`` (reads) returns None for failed shards so healthy
+        shards still serve."""
+        futs = [
+            self._pool.submit(self._post, u, endpoint, payload)
+            for u in self.shard_urls
+        ]
+        results: List[Optional[Dict]] = []
+        failures: Dict[str, str] = {}
+        for u, f in zip(self.shard_urls, futs):
+            try:
+                results.append(f.result(timeout=self.timeout + 5))
+            except Exception as e:
+                failures[u] = repr(e)
+                results.append(None)
+        if failures and (not allow_partial or len(failures) == len(futs)):
+            raise ShardError(failures)
+        return results
 
     def update(self, docs: List[Dict], parameters: Optional[Dict] = None):
         return self._broadcast('/update', {'docs': docs, 'parameters': parameters or {}})
@@ -59,12 +94,15 @@ class Gateway:
         """Broadcast, then merge per-shard matches by ascending score."""
         limit = int((parameters or {}).get('limit', 10))
         replies = self._broadcast(
-            '/search', {'docs': docs, 'parameters': parameters or {}}
+            '/search', {'docs': docs, 'parameters': parameters or {}},
+            allow_partial=True,
         )
         merged = []
         for qi, query in enumerate(docs):
             all_matches = []
             for rep in replies:
+                if rep is None:  # failed shard: healthy shards still serve
+                    continue
                 all_matches.extend(rep['results'][qi].get('matches', []))
             all_matches.sort(key=lambda m: m.get('score', 0.0))
             out = dict(query)
@@ -74,17 +112,30 @@ class Gateway:
 
     def filter(self, parameters: Optional[Dict] = None) -> List[Dict]:
         limit = int((parameters or {}).get('limit', 10))
-        replies = self._broadcast('/filter', {'parameters': parameters or {}})
-        docs = [d for rep in replies for d in rep['docs']]
+        replies = self._broadcast(
+            '/filter', {'parameters': parameters or {}}, allow_partial=True
+        )
+        docs = [d for rep in replies if rep is not None for d in rep['docs']]
         return docs[:limit] if limit >= 0 else docs
 
     def status(self) -> Dict:
-        stats = [self._get(u, '/status') for u in self.shard_urls]
-        return {
+        futs = [
+            self._pool.submit(self._get, u, '/status') for u in self.shard_urls
+        ]
+        stats, failed = [], {}
+        for u, f in zip(self.shard_urls, futs):
+            try:
+                stats.append(f.result(timeout=self.timeout + 5))
+            except Exception as e:
+                failed[u] = repr(e)
+        out = {
             'shards': stats,
             'total_docs': sum(s['total_docs'] for s in stats),
             'index_size': sum(s['index_size'] for s in stats),
         }
+        if failed:
+            out['failed_shards'] = failed
+        return out
 
     def backup(self, name: Optional[str] = None):
         return self._broadcast('/backup', {'parameters': {'target_name': name}})
