@@ -57,6 +57,90 @@ class LocalTransport:
         shutil.rmtree(self.root / name, ignore_errors=True)
 
 
+class HttpTransport:
+    """Object-store transport over HTTP (reference: the Hubble client,
+    `annlite/hubble_tools.py:35-283`; here a plain REST scheme so any
+    artifact server — including `annlite_tpu.serving.artifact_server` —
+    can hold backups).
+
+    Scheme: PUT /artifacts/<name>/<file> (body = bytes, X-Artifact-Meta
+    header = JSON), GET /artifacts/<name> (JSON list of metadata), GET
+    /artifacts/<name>/<file>, DELETE /artifacts/<name>.
+    """
+
+    def __init__(self, base_url: str, timeout: float = 120.0):
+        self.base = base_url.rstrip('/')
+        self.timeout = timeout
+
+    def _url(self, name: str, fname: str = '') -> str:
+        from urllib.parse import quote
+
+        u = f'{self.base}/artifacts/{quote(name, safe="")}'
+        return f'{u}/{quote(fname)}' if fname else u
+
+    def upload(self, name: str, file_path: Path, metadata: Dict) -> str:
+        import urllib.request
+
+        with open(file_path, 'rb') as f:
+            body = f.read()
+        req = urllib.request.Request(
+            self._url(name, file_path.name),
+            data=body,
+            method='PUT',
+            headers={
+                'Content-Type': 'application/octet-stream',
+                'X-Artifact-Meta': json.dumps(metadata),
+            },
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            return json.loads(r.read())['path']
+
+    def list(self, name: str) -> List[Dict]:
+        import urllib.error
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(
+                self._url(name), timeout=self.timeout
+            ) as r:
+                arts = json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return []
+            raise
+        for a in arts:  # _path is a URL for HTTP artifacts
+            a['_path'] = f'{self.base}{a["_path"]}'
+        return arts
+
+    def download(self, artifact: Dict, to: Path) -> Path:
+        import urllib.request
+
+        to.parent.mkdir(parents=True, exist_ok=True)
+        with urllib.request.urlopen(
+            artifact['_path'], timeout=self.timeout
+        ) as r, open(to, 'wb') as f:
+            shutil.copyfileobj(r, f)
+        return to
+
+    def exists(self, name: str) -> bool:
+        return bool(self.list(name))
+
+    def delete(self, name: str):
+        import urllib.request
+
+        req = urllib.request.Request(self._url(name), method='DELETE')
+        with urllib.request.urlopen(req, timeout=self.timeout):
+            pass
+
+
+def make_transport(remote: Union[str, Path]):
+    """'http(s)://...' → HttpTransport; anything else → LocalTransport."""
+    s = str(remote)
+    if s.startswith('http://') or s.startswith('https://'):
+        return HttpTransport(s)
+    return LocalTransport(s)
+
+
 def split_file(path: Path, chunk_bytes: int, out_dir: Path) -> List[Path]:
     """Split a large file into numbered parts (reference uses `filesplit`)."""
     out_dir.mkdir(parents=True, exist_ok=True)

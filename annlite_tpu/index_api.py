@@ -597,10 +597,17 @@ class AnnLite:
         if self.index_size == 0 and self.total_docs > 0:
             self._rebuild_index_from_local()
 
-    def backup(self, target_name: Optional[str] = None, token: Optional[str] = None) -> Path:
+    def backup(
+        self,
+        target_name: Optional[str] = None,
+        token: Optional[str] = None,
+        remote: Optional[str] = None,
+    ) -> Path:
         """Archive the current state into a portable backup directory
-        (reference remote Hubble backup `index.py:652-767`; here: local
-        archive, remote transports can wrap it)."""
+        (reference remote Hubble backup `index.py:652-767`).  ``remote``:
+        an artifact-store URL ('http(s)://...') or path — the archive is
+        additionally uploaded there as typed split/zipped artifacts
+        (`artifacts.Uploader`), so another host can :meth:`restore` it."""
         self.dump_model()
         snap = self.dump_index()
         name = target_name or f'backup-{snap.name}'
@@ -609,14 +616,31 @@ class AnnLite:
         shutil.copytree(self.model_path, dest / self.model_path.name, dirs_exist_ok=True)
         shutil.copytree(snap, dest / 'snapshot', dirs_exist_ok=True)
         self._container.doc_store.dump(dest / 'docs.db')
+        if remote is not None:
+            from .artifacts import Uploader, make_transport
+
+            Uploader(make_transport(remote)).upload_directory(
+                name, dest, skip_if_exists=False
+            )
         return dest
 
-    def restore(self, source_name: Optional[str] = None, token: Optional[str] = None):
-        """Restore from a backup dir created by :meth:`backup`."""
+    def restore(
+        self,
+        source_name: Optional[str] = None,
+        token: Optional[str] = None,
+        remote: Optional[str] = None,
+    ):
+        """Restore from a backup created by :meth:`backup` — local, or
+        fetched from the ``remote`` artifact store when not present
+        locally (reference `index.py:799-923`)."""
         if source_name is None:
             self._maybe_restore()
             return
         src = self.data_path / 'backups' / source_name
+        if not src.exists() and remote is not None:
+            from .artifacts import Merger, make_transport
+
+            Merger(make_transport(remote)).restore_directory(source_name, src)
         if not src.exists():
             raise FileNotFoundError(f'backup {source_name} not found under {src}')
         model_dirs = list(src.glob('parameters-*'))

@@ -243,13 +243,13 @@ class AnnLiteIndexer:
         target = parameters.get('target_name') or parameters.get('name')
         self.flush()
         name = f'{target}_shard_{self.shard_id}' if target else None
-        return str(self._index.backup(name))
+        return str(self._index.backup(name, remote=parameters.get('remote')))
 
     def restore(self, parameters: Dict = None, **kw):
         parameters = parameters or {}
         source = parameters.get('source_name') or parameters.get('name')
         name = f'{source}_shard_{self.shard_id}' if source else None
-        self._index.restore(name)
+        self._index.restore(name, remote=parameters.get('remote'))
 
     def clear(self, **kw):
         self.flush()

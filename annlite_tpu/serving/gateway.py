@@ -137,11 +137,18 @@ class Gateway:
             out['failed_shards'] = failed
         return out
 
-    def backup(self, name: Optional[str] = None):
-        return self._broadcast('/backup', {'parameters': {'target_name': name}})
+    def backup(self, name: Optional[str] = None, remote: Optional[str] = None):
+        """Coordinated multi-shard backup: every shard archives under
+        ``<name>_shard_<i>`` (optionally uploading to the ``remote``
+        artifact store)."""
+        return self._broadcast(
+            '/backup', {'parameters': {'target_name': name, 'remote': remote}}
+        )
 
-    def restore(self, name: Optional[str] = None):
-        return self._broadcast('/restore', {'parameters': {'source_name': name}})
+    def restore(self, name: Optional[str] = None, remote: Optional[str] = None):
+        return self._broadcast(
+            '/restore', {'parameters': {'source_name': name, 'remote': remote}}
+        )
 
     def clear(self):
         return self._broadcast('/clear', {})

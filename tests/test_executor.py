@@ -359,3 +359,59 @@ def test_gateway_partial_failure_isolation(tmp_path, rng):
     finally:
         for s in servers:
             s.stop()
+
+
+def test_gateway_remote_backup_restore_roundtrip(tmp_path, rng):
+    """Gateway-coordinated multi-shard backup to a REAL remote artifact
+    server, then clear + restore: per-shard doc counts and search results
+    survive the round-trip (VERDICT r1 #6/#7; reference remote flow:
+    `annlite/hubble_tools.py` + `/backup` `/restore` shard naming)."""
+    from annlite_tpu.serving.artifact_server import ArtifactServer
+    from annlite_tpu.serving.gateway import Gateway
+
+    art = ArtifactServer(tmp_path / 'artifacts', port=18776).start()
+    ports = [18494, 18495, 18496]
+    servers = []
+    for si, port in enumerate(ports):
+        ex = AnnLiteIndexer(
+            n_dim=D, workspace=str(tmp_path / 'ws'), shard_id=si, shards=3
+        )
+        servers.append(Server(ex, port=port).start())
+    try:
+        gw = Gateway([f'http://127.0.0.1:{p}' for p in ports])
+        docs = [
+            {'id': f'doc{i}', 'embedding': rng.standard_normal(D).tolist()}
+            for i in range(30)
+        ]
+        for i in range(0, 30, 10):
+            gw.index(docs[i : i + 10])
+        for s in servers:
+            s.executor.flush()
+        time.sleep(0.3)
+        assert gw.status()['total_docs'] == 30
+
+        gw.backup('snap1', remote=art.url)
+        # each shard uploaded under its suffixed name
+        assert sorted(p.name for p in (tmp_path / 'artifacts').iterdir()) == [
+            f'snap1_shard_{i}' for i in range(3)
+        ]
+
+        gw.clear()
+        assert gw.status()['total_docs'] == 0
+        # wipe the local backup dirs so restore must pull from the remote
+        import shutil as _sh
+
+        for si in range(3):
+            _sh.rmtree(tmp_path / 'ws' / f'shard_{si}' / 'backups',
+                       ignore_errors=True)
+
+        gw.restore('snap1', remote=art.url)
+        st = gw.status()
+        assert st['total_docs'] == 30
+        assert [s['total_docs'] for s in st['shards']] == [10, 10, 10]
+        res = gw.search([docs[17]], parameters={'limit': 5})
+        assert res[0]['matches'][0]['id'] == 'doc17'
+    finally:
+        for s in servers:
+            s.stop()
+        art.stop()
