@@ -83,7 +83,8 @@ class AnnLite:
         self.rerank = rerank
         self.scan_mode = scan_mode
         if index_type not in (
-            'auto', 'flat', 'pq_scan', 'graph', 'ivf_pq', 'sharded_pq', 'sharded_flat'
+            'auto', 'flat', 'pq_scan', 'graph', 'ivf_pq', 'sharded_pq',
+            'sharded_flat', 'sharded_ivf_pq', 'sharded_graph',
         ):
             raise ValueError(f'unknown index_type {index_type!r}')
         self.index_type = index_type
@@ -194,6 +195,28 @@ class AnnLite:
             from .parallel.sharded_index import ShardedFlatIndex
 
             index = ShardedFlatIndex(self.index_dim, metric=self.metric)
+        elif kind == 'sharded_ivf_pq':
+            if self._pq_codec is None:
+                raise ValueError('index_type=sharded_ivf_pq requires n_subvectors')
+            from .parallel.sharded_index import ShardedIVFPQIndex
+
+            index = ShardedIVFPQIndex(
+                self.index_dim, self._pq_codec, rerank=self.rerank,
+                exact_topk=self.exact_topk,
+            )
+        elif kind == 'sharded_graph':
+            from .parallel.sharded_index import ShardedGraphIndex
+
+            index = ShardedGraphIndex(
+                self.index_dim,
+                metric=self.metric,
+                max_degree=self.max_degree,
+                l_build=self.ef_construction,
+                ef_search=self.ef_search,
+                pq_codec=self._pq_codec,
+                rerank=self.rerank,
+                build_mode=self.graph_build_mode,
+            )
         elif kind == 'pq_scan':
             if self._pq_codec is None:
                 raise ValueError('index_type=pq_scan requires n_subvectors')

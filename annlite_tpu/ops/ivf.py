@@ -221,11 +221,15 @@ def ivf_scan_topk(
     *,
     use_pallas: Optional[bool] = None,
     exact: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
+    return_addr: bool = False,
+) -> Tuple[jax.Array, ...]:
     """Scan the selected blocks and return ``(dists[Q,k], global_rows[Q,k])``.
 
     block_ids [S] int32 (pad -1); codes_blocks [n_blocks, M, BS] uint8;
     mask_blocks [n_blocks, BS] int8; row_map [n_blocks, BS] int32 global rows.
+    With ``return_addr`` additionally returns the candidate addresses
+    ``(blocks[Q,k], slots[Q,k])`` so callers can gather per-slot payloads
+    (e.g. shard-local rerank vectors, `parallel/sharded_index.py`).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == 'tpu'
@@ -250,6 +254,8 @@ def ivf_scan_topk(
             prov = jnp.take_along_axis(r8, pos8, axis=1)
             sel_block = jnp.maximum(block_ids, 0)[prov // bs]
             rows = row_map[sel_block, prov % bs]
+            if return_addr:
+                return -neg, rows, sel_block, prov % bs
             return -neg, rows
         scores = _ivf_scan_pallas(
             block_ids, dt, codes_blocks, mask_blocks, n_sub, kk
@@ -261,6 +267,8 @@ def ivf_scan_topk(
     d, pos = _topk(flat, min(k, s * bs), exact=exact)
     sel_block = jnp.maximum(block_ids, 0)[pos // bs]  # [Q, k]
     rows = row_map[sel_block, pos % bs]
+    if return_addr:
+        return d, rows, sel_block, pos % bs
     return d, rows
 
 

@@ -1,4 +1,9 @@
-from .sharded_index import ShardedFlatIndex, ShardedPQIndex
+from .sharded_index import (
+    ShardedFlatIndex,
+    ShardedGraphIndex,
+    ShardedIVFPQIndex,
+    ShardedPQIndex,
+)
 from .mesh import (
     SHARD_AXIS,
     make_mesh,
@@ -7,12 +12,16 @@ from .mesh import (
     shard_mask,
     shard_rows,
     sharded_adc_topk,
+    sharded_beam_topk,
+    sharded_ivf_topk,
     sharded_lloyd_step,
     sharded_scan_topk,
 )
 
 __all__ = [
     'ShardedFlatIndex',
+    'ShardedGraphIndex',
+    'ShardedIVFPQIndex',
     'ShardedPQIndex',
     'SHARD_AXIS',
     'make_mesh',
@@ -21,6 +30,8 @@ __all__ = [
     'shard_mask',
     'shard_rows',
     'sharded_adc_topk',
+    'sharded_beam_topk',
+    'sharded_ivf_topk',
     'sharded_lloyd_step',
     'sharded_scan_topk',
 ]

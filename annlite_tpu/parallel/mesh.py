@@ -82,7 +82,9 @@ def sharded_adc_topk(mesh: Mesh, dtable, codes_t, mask, k: int):
     return jax.jit(fn)(dtable, codes_t, mask)
 
 
-def shard_rows(mesh: Mesh, x: np.ndarray, n_pad: Optional[int] = None) -> jax.Array:
+def shard_rows(
+    mesh: Mesh, x: np.ndarray, n_pad: Optional[int] = None, pad_value=0
+) -> jax.Array:
     """Place a row-major array ``[N, ...]`` (or ``[N]``) with N sharded over
     the mesh, padding N to a multiple of the axis size."""
     n_dev = mesh.devices.size
@@ -90,7 +92,11 @@ def shard_rows(mesh: Mesh, x: np.ndarray, n_pad: Optional[int] = None) -> jax.Ar
     if n_pad is None:
         n_pad = -(-n // n_dev) * n_dev
     if n_pad != n:
-        x = np.pad(x, ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1))
+        x = np.pad(
+            x,
+            ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1),
+            constant_values=pad_value,
+        )
     spec = P(SHARD_AXIS) if x.ndim == 1 else P(SHARD_AXIS, *([None] * (x.ndim - 1)))
     return jax.device_put(x, NamedSharding(mesh, spec))
 
@@ -156,6 +162,173 @@ def sharded_scan_topk(mesh: Mesh, q, x_scan, row_scale, norms_sq, mask,
         check_vma=False,
     )
     return jax.jit(fn)(q, x_scan, row_scale, norms_sq, mask, x_f32)
+
+
+def _merge_topk(d, gidx, k: int):
+    """all_gather each shard's k candidates and keep the global best k —
+    the O(P·Q·k) merge every sharded search path funnels through."""
+    d_all = jax.lax.all_gather(d, SHARD_AXIS, axis=1, tiled=True)
+    i_all = jax.lax.all_gather(gidx, SHARD_AXIS, axis=1, tiled=True)
+    neg, pos = jax.lax.top_k(-d_all, min(k, d_all.shape[1]))
+    return -neg, jnp.take_along_axis(i_all, pos, axis=1)
+
+
+def sharded_ivf_topk(
+    mesh: Mesh,
+    sel_local,      # [P, S] int32: per-shard LOCAL block ids (pad -1)
+    dtable,         # [Q, M, K] replicated
+    codes_blocks,   # [n_blocks_pad, M, BS] uint8, block-sharded
+    mask_blocks,    # [n_blocks_pad, BS] int8, block-sharded
+    row_map,        # [n_blocks_pad, BS] int32 GLOBAL rows, block-sharded
+    k: int,
+    *,
+    queries=None,      # [Q, D] replicated f32 (required when rerank > 0)
+    vec_blocks=None,   # [n_blocks_pad, BS, D] slot-major rerank vectors
+    rerank: int = 0,
+    metric=None,
+    exact: bool = False,
+):
+    """Distributed probed-block IVF-PQ search (the multi-chip `ops/ivf.py`).
+
+    The block axis is sharded over the mesh; each device scans only ITS
+    probed blocks (scalar-prefetch Pallas scan on TPU), optionally reranks
+    its local shortlist against slot-major f32/bf16 vectors (gathers stay
+    shard-local), and the k winners per shard are merged with `_merge_topk`.
+    Replaces the reference's per-process cell shards
+    (`annlite/executor.py:93-96`) with ICI collectives."""
+    from ..enums import Metric
+    from ..ops.ivf import ivf_scan_topk
+
+    do_rerank = rerank > 0 and vec_blocks is not None and queries is not None
+    euclidean = metric is not None and int(metric) == int(Metric.EUCLIDEAN)
+
+    def local(sel, dt, cb, mb, rm, *extra):
+        sel = sel.reshape(-1)
+        cap = sel.shape[0] * cb.shape[2]
+        kk = min(max(k, rerank) if do_rerank else k, cap)
+        if do_rerank:
+            q, vb = extra
+            d, rows, blks, slots = ivf_scan_topk(
+                sel, dt, cb, mb, rm, kk, exact=exact, return_addr=True
+            )
+            cvec = vb[blks, slots].astype(jnp.float32)  # [Q, kk, D]
+            if euclidean:
+                rd = jnp.sum((q[:, None, :] - cvec) ** 2, axis=-1)
+            else:
+                rd = 1.0 - jnp.einsum(
+                    'qd,qrd->qr', q, cvec, precision=jax.lax.Precision.HIGHEST
+                )
+            rd = jnp.where(d < BIG / 2, rd, BIG)
+            neg, pos = jax.lax.top_k(-rd, min(k, kk))
+            d = -neg
+            rows = jnp.take_along_axis(rows, pos, axis=1)
+        else:
+            d, rows = ivf_scan_topk(sel, dt, cb, mb, rm, kk, exact=exact)
+        rows = jnp.where(d < BIG / 2, rows, -1)
+        return _merge_topk(d, rows, k)
+
+    in_specs = [
+        P(SHARD_AXIS, None), P(), P(SHARD_AXIS, None, None),
+        P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+    ]
+    args = [sel_local, dtable, codes_blocks, mask_blocks, row_map]
+    if do_rerank:
+        in_specs += [P(), P(SHARD_AXIS, None, None)]
+        args += [queries, vec_blocks]
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=tuple(in_specs), out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(*args)
+
+
+def sharded_beam_topk(
+    mesh: Mesh,
+    adjacency,      # [P·cap, W] int32, row-sharded (per-shard sub-graphs,
+                    # LOCAL node ids; pad -1)
+    vectors,        # [P·cap, D] row-sharded traversal/rerank vectors
+    medoids,        # [P] int32, sharded: per-shard entry point
+    queries,        # [Q, D] replicated f32
+    metric_euclidean: bool,
+    k: int,
+    *,
+    L: int = 64,
+    B: int = 16,
+    rerank: int = 0,
+    codes=None,     # [P·cap, M] uint8 row-sharded (PQ traversal)
+    dtable=None,    # [Q, M, K] replicated (PQ traversal)
+    alive=None,     # [P·cap] int8 row-sharded: 0 = soft-deleted node
+):
+    """Distributed graph serving: each device beams over its own sub-graph
+    (local adjacency + local vectors/codes), reranks locally, and the
+    per-shard shortlists are merged with `_merge_topk` — the TPU-mesh
+    re-expression of the reference's per-process HNSW shards
+    (`annlite/executor.py:93-96`, one index per Jina shard).
+
+    Global ids are round-robin: global = local·P + shard."""
+    from ..ops.beam import NO_ID, beam_search_pq, beam_search_vectors
+
+    n_dev = mesh.devices.size
+    use_pq = codes is not None and dtable is not None
+    do_rerank = rerank > 0
+
+    def local(adj, vecs, med, q, *extra):
+        i = 0
+        cd = dt = al = None
+        if use_pq:
+            cd, dt = extra[0], extra[1]
+            i = 2
+        if alive is not None:
+            al = extra[i]
+        cap = adj.shape[0]
+        entry = jnp.broadcast_to(med.reshape(1, 1), (q.shape[0], 1)).astype(jnp.int32)
+        ef = max(L, 4 * k)
+        if use_pq:
+            d, ids = beam_search_pq(adj, entry, cd, dt, k=ef, L=ef, B=B)
+        else:
+            d, ids = beam_search_vectors(
+                adj, entry, vecs, q, metric_euclidean, k=ef, L=ef, B=B
+            )
+        valid = (ids >= 0) & (ids < cap)
+        if al is not None:
+            safe = jnp.where(valid, ids, 0)
+            valid = valid & (al[safe] > 0)
+        if do_rerank:
+            r = min(rerank, ids.shape[1])
+            cid = jnp.where(valid, ids, 0)[:, :r]
+            cvec = vecs[cid].astype(jnp.float32)
+            if metric_euclidean:
+                rd = jnp.sum((q[:, None, :] - cvec) ** 2, axis=-1)
+            else:
+                rd = 1.0 - jnp.einsum(
+                    'qd,qrd->qr', q, cvec, precision=jax.lax.Precision.HIGHEST
+                )
+            d = jnp.where(valid[:, :r], rd, BIG)
+            ids = ids[:, :r]
+            valid = valid[:, :r]
+        else:
+            d = jnp.where(valid, d, BIG)
+        neg, pos = jax.lax.top_k(-d, min(k, d.shape[1]))
+        d = -neg
+        ids = jnp.take_along_axis(ids, pos, axis=1)
+        valid = jnp.take_along_axis(valid, pos, axis=1)
+        gids = ids * n_dev + jax.lax.axis_index(SHARD_AXIS)
+        gids = jnp.where(valid & (d < BIG / 2), gids, -1)
+        return _merge_topk(d, gids, k)
+
+    in_specs = [P(SHARD_AXIS, None), P(SHARD_AXIS, None), P(SHARD_AXIS), P()]
+    args = [adjacency, vectors, medoids, queries]
+    if use_pq:
+        in_specs += [P(SHARD_AXIS, None), P()]
+        args += [codes, dtable]
+    if alive is not None:
+        in_specs += [P(SHARD_AXIS)]
+        args += [alive]
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=tuple(in_specs), out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(*args)
 
 
 def sharded_lloyd_step(mesh: Mesh, x_sharded, centroids):

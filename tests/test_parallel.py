@@ -131,6 +131,180 @@ def test_sharded_scan_matches_flat_index(rng):
     assert not (set(i_s2[0].tolist()) & set(i_s[0][:3].tolist()))
 
 
+def _trained_pq(rng, x, m=8, metric='euclidean'):
+    from annlite_tpu.codecs import PQCodec
+    from annlite_tpu.enums import Metric
+
+    pq = PQCodec(
+        x.shape[1], n_subvectors=m, n_clusters=64, n_init=1,
+        metric=Metric.EUCLIDEAN if metric == 'euclidean' else Metric.COSINE,
+    )
+    pq.fit(x, iter=10)
+    return pq
+
+
+@require_devices(2)
+def test_sharded_ivf_matches_single_device(rng):
+    """ShardedIVFPQIndex must agree with IVFPQIndex on the same store."""
+    from annlite_tpu.index.ivf_pq import IVFPQIndex
+    from annlite_tpu.parallel import ShardedIVFPQIndex
+
+    n, d, n_cells = 3000, 16, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    cells = rng.integers(0, n_cells, n).astype(np.int32)
+    pq = _trained_pq(rng, x)
+    q = x[:5]
+
+    single = IVFPQIndex(d, pq, block_size=128)
+    single.add_with_ids(x, np.arange(n), cells=cells)
+    sharded = ShardedIVFPQIndex(d, pq, block_size=128)
+    assert sharded.n_shards >= 2
+    sharded.add_with_ids(x, np.arange(n), cells=cells)
+
+    probe = np.array([1, 3, 5])
+    d_1, i_1 = single.search(q, limit=10, cells=probe)
+    d_s, i_s = sharded.search(q, limit=10, cells=probe)
+    np.testing.assert_allclose(np.sort(d_s, 1), np.sort(np.asarray(d_1), 1),
+                               rtol=1e-4, atol=1e-4)
+    # probed-cell containment
+    assert set(cells[i_s.ravel()]) <= {1, 3, 5}
+
+    # filter mask respected across shards
+    m = np.zeros(n, bool)
+    m[: n // 4] = True
+    _, i_f = sharded.search(q, limit=10, cells=probe, mask=m)
+    ok = i_f[i_f >= 0]
+    assert m[ok].all()
+
+    # deletes
+    sharded.delete_rows(i_s[0][:3])
+    _, i_s2 = sharded.search(q[:1], limit=10, cells=probe)
+    assert not (set(i_s2[0].tolist()) & set(i_s[0][:3].tolist()))
+
+
+@require_devices(2)
+def test_sharded_ivf_rerank_snapshot(rng):
+    """Rerank path self-matches; snapshot round-trips."""
+    from annlite_tpu.parallel import ShardedIVFPQIndex
+
+    n, d = 1500, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    cells = rng.integers(0, 4, n).astype(np.int32)
+    pq = _trained_pq(rng, x)
+    idx = ShardedIVFPQIndex(d, pq, block_size=128, rerank=32)
+    idx.add_with_ids(x, np.arange(n), cells=cells)
+    q = x[:8]
+    d_r, i_r = idx.search(q, limit=5, cells=cells[:8])
+    hits = sum(i_r[i][0] == i for i in range(8))
+    assert hits >= 7, f'{hits}/8 self-matches with rerank'
+
+    state = idx.state_arrays()
+    idx2 = ShardedIVFPQIndex(d, pq, block_size=128, rerank=32)
+    idx2.load_state_arrays(state)
+    d2, i2 = idx2.search(q, limit=5, cells=cells[:8])
+    np.testing.assert_allclose(d2, d_r, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(i2, i_r)
+
+
+@require_devices(2)
+def test_sharded_graph_recall(rng):
+    """Per-shard sub-graph beam + cross-shard merge reaches brute-force
+    recall on clustered data; deletes are excluded from results."""
+    from annlite_tpu.parallel import ShardedGraphIndex
+    from annlite_tpu.enums import Metric
+
+    n, d = 2000, 24
+    centers = rng.standard_normal((16, d)).astype(np.float32) * 3
+    x = (centers[rng.integers(0, 16, n)]
+         + rng.standard_normal((n, d)).astype(np.float32))
+    q = x[:16] + 0.01 * rng.standard_normal((16, d)).astype(np.float32)
+
+    g = ShardedGraphIndex(d, metric=Metric.EUCLIDEAN, ef_search=64)
+    assert g.n_shards >= 2
+    g.add_with_ids(x, np.arange(n))
+    dists, ids = g.search(q, limit=10)
+
+    d2 = ((q[:, None, :] - x[None]) ** 2).sum(-1)
+    truth = np.argsort(d2, axis=1)[:, :10]
+    recall = np.mean([
+        len(set(ids[i].tolist()) & set(truth[i].tolist())) / 10
+        for i in range(len(q))
+    ])
+    assert recall >= 0.85, f'sharded graph recall {recall}'
+
+    # delete the top hit of query 0 -> must disappear
+    g.delete_rows(ids[0][:2])
+    _, ids2 = g.search(q[:1], limit=10)
+    assert not (set(ids2[0].tolist()) & set(ids[0][:2].tolist()))
+
+    # filtered search: only even rows pass
+    m = (np.arange(n) % 2) == 0
+    _, idf = g.search(q[:4], limit=5, mask=m)
+    ok = idf[idf >= 0]
+    assert (ok % 2 == 0).all()
+
+
+@require_devices(2)
+def test_sharded_graph_snapshot(rng):
+    from annlite_tpu.parallel import ShardedGraphIndex
+    from annlite_tpu.enums import Metric
+
+    n, d = 600, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    g = ShardedGraphIndex(d, metric=Metric.EUCLIDEAN)
+    g.add_with_ids(x, np.arange(n))
+    state = g.state_arrays()
+
+    g2 = ShardedGraphIndex(d, metric=Metric.EUCLIDEAN)
+    g2.load_state_arrays(state)
+    assert g2.size == n
+    d1, i1 = g.search(x[:5], limit=5)
+    d2, i2 = g2.search(x[:5], limit=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5)
+
+
+@require_devices(2)
+def test_sharded_ivf_facade(tmp_path, rng):
+    """Facade probing routes per-query cells into the sharded IVF scan."""
+    from annlite_tpu import AnnLite
+    from annlite_tpu.doc import Doc
+    from annlite_tpu.parallel import ShardedIVFPQIndex
+
+    D, N = 16, 1200
+    centers = rng.standard_normal((8, D)).astype(np.float32) * 4
+    x = (centers[rng.integers(0, 8, N)]
+         + 0.2 * rng.standard_normal((N, D))).astype(np.float32)
+    ann = AnnLite(n_dim=D, metric='euclidean', n_subvectors=8, n_cells=8,
+                  n_probe=2, index_type='sharded_ivf_pq', rerank=16,
+                  data_path=str(tmp_path / 'sivf'))
+    ann.train(x)
+    assert isinstance(ann._container.index, ShardedIVFPQIndex)
+    ann.index([Doc(id=f'd{i}', embedding=x[i]) for i in range(N)])
+    _, ids = ann.search_numpy(x[:10], limit=5)
+    hits = sum(ids[i][0] == f'd{i}' for i in range(10))
+    assert hits >= 8, f'{hits}/10 self-matches'
+    ann.close()
+
+
+@require_devices(2)
+def test_sharded_graph_facade(tmp_path, rng):
+    from annlite_tpu import AnnLite
+    from annlite_tpu.doc import Doc
+    from annlite_tpu.parallel import ShardedGraphIndex
+
+    D, N = 16, 500
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    ann = AnnLite(n_dim=D, metric='cosine', index_type='sharded_graph',
+                  data_path=str(tmp_path / 'sg'))
+    assert isinstance(ann._container.index, ShardedGraphIndex)
+    ann.index([Doc(id=f'd{i}', embedding=x[i]) for i in range(N)])
+    _, ids = ann.search_numpy(x[:10], limit=3)
+    hits = sum(ids[i][0] == f'd{i}' for i in range(10))
+    assert hits >= 9, f'{hits}/10 self-matches'
+    ann.close()
+
+
 @require_devices(2)
 def test_sharded_flat_facade(tmp_path, rng):
     from annlite_tpu import AnnLite
