@@ -127,6 +127,44 @@ class FlatIndex(BaseIndex):
             )
         return np.asarray(d), np.asarray(idx)
 
+    def device_searcher(self, limit: int = 10, mask: Optional[np.ndarray] = None):
+        """Jitted, device-resident search callable: ``query [Q, D] f32
+        (device array) → (dists [Q, limit], idx [Q, limit])`` without
+        per-call host transfers — the serving-loop/benchmark twin of
+        ``search`` (same product kernels, `ops/scan.py`), mirroring
+        `GraphIndex.device_searcher`.  Captures the current buffers —
+        rebuild after inserts."""
+        x = self._buf.device_view()
+        norms = self._norms.device_view()
+        n_pad = x.shape[0]
+        m = np.zeros(n_pad, dtype=np.int8)
+        if mask is None:
+            m[: self.size] = 1
+        else:
+            m[: self.size] = np.asarray(mask[: self.size], dtype=np.int8)
+        m = jnp.asarray(m)
+        k = min(limit, max(self.size, 1))
+        metric, exact = int(self.metric), self.exact_topk
+        cosine = self.metric == Metric.COSINE
+        if self.scan_mode == 'exact':
+            def run(q):
+                q = l2_normalize(q) if cosine else q
+                return _flat_search(q, x, norms, m, k, metric, exact)
+
+            return run
+        scan = self._scan_buf.device_view()
+        scale = self._scale.device_view() if self._scale is not None else None
+        packed = self.scan_mode == 'int4'
+
+        def run(q):
+            q = l2_normalize(q) if cosine else q
+            return scan_topk(
+                q, scan, scale, norms, m, k, self.metric, x_f32=x,
+                packed_int4=packed,
+            )
+
+        return run
+
     def reset(self):
         self._buf.reset()
         self._norms.reset()

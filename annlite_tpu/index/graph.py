@@ -89,6 +89,7 @@ class GraphIndex(BaseIndex):
                 l_build=l_build,
             )
         self._vectors = np.zeros((0, dim), dtype=np.float32)  # host copy
+        self._alive = np.zeros(0, dtype=bool)  # soft-delete bitmap
         self._dev_adj = None
         self._dev_vectors = None
         self._dev_codes = None
@@ -126,7 +127,25 @@ class GraphIndex(BaseIndex):
         else:
             self._graph.add(x, n_threads=self.n_threads)
             self._vectors = np.concatenate([self._vectors, x])
+        self._alive = np.concatenate([self._alive, np.ones(len(ids), bool)])
         self._dirty = True
+
+    def delete_rows(self, rows):
+        """Soft delete: traversal still ROUTES through dead nodes (their
+        distances stay real, like hnswlib's isMarkedDeleted skip,
+        `include/hnswlib/hnswalg.h:869-944`) but they are masked out of the
+        candidate list before rerank/selection.  Reclaim with compact()."""
+        self._alive[np.asarray(rows)] = False
+        self._dirty = True
+
+    @property
+    def n_deleted(self) -> int:
+        return int((~self._alive).sum())
+
+    @property
+    def dead_fraction(self) -> float:
+        n = self._alive.shape[0]
+        return float(self.n_deleted) / n if n else 0.0
 
     def _pq_traverse(self) -> bool:
         """True when graph traversal scores with the PQ LUT (vs resident
@@ -170,6 +189,13 @@ class GraphIndex(BaseIndex):
             )
         query = self._prep(query)
         self._sync_device()
+        if self.n_deleted:
+            # dead rows behave like filtered rows: excluded at selection,
+            # but traversal distances stay real so routes through them hold
+            alive = self._alive
+            mask = alive if mask is None else (
+                np.asarray(mask, dtype=bool)[: len(alive)] & alive
+            )
         if (
             mask is not None
             and self._dev_vectors is not None
@@ -197,28 +223,22 @@ class GraphIndex(BaseIndex):
                 self._dev_adj, entry, self._dev_codes, dtable,
                 k=ef, L=ef, B=self.beam_width,
             )
-            if self.rerank > 0:
-                d, ids = self._rerank_stage(query, ids, d, limit, metric_euclidean)
-            # else trimmed below
         else:
             d, ids = beam_search_vectors(
                 self._dev_adj, entry, self._dev_vectors, jnp.asarray(query),
                 metric_euclidean, k=ef, L=ef, B=self.beam_width,
             )
-            if self.pq_codec is not None and self.rerank > 0:
-                # traversal scored on the bf16 copy: refine the boundary at
-                # full precision like the PQ path does
-                d, ids = self._rerank_stage(query, ids, d, limit, metric_euclidean)
-        d, ids = np.asarray(d), np.asarray(ids)
         if mask is not None:
-            # predicate applied at selection: drop non-passing candidates
-            mask = np.asarray(mask).astype(bool)
-            valid = (ids >= 0) & (ids < len(mask))
-            passing = np.where(valid, mask[np.clip(ids, 0, len(mask) - 1)], False)
-            d = np.where(passing, d, BIG)
-            order = np.argsort(d, axis=1, kind='stable')
-            d = np.take_along_axis(d, order, axis=1)
-            ids = np.take_along_axis(ids, order, axis=1)
+            # predicate (and soft-deletes) applied at selection BEFORE the
+            # rerank stage, so no rerank slot is wasted on a dead candidate
+            d, ids = _mask_candidates(
+                d, ids, jnp.asarray(np.asarray(mask, dtype=np.bool_))
+            )
+        if self.pq_codec is not None and self.rerank > 0:
+            # PQ traversal, or traversal on the bf16 copy: refine the
+            # boundary at full precision
+            d, ids = self._rerank_stage(query, ids, d, limit, metric_euclidean)
+        d, ids = np.asarray(d), np.asarray(ids)
         return d[:, :limit], ids[:, :limit]
 
     def device_searcher(self, limit: int = 10):
@@ -250,17 +270,23 @@ class GraphIndex(BaseIndex):
         # multi-hundred-MB programs outright)
         from functools import partial
 
+        has_deletes = self.n_deleted > 0
+        alive = (
+            jnp.asarray(self._alive) if has_deletes else None
+        )
         run = jax.jit(partial(
             GraphIndex._searcher_impl, use_pq=self._pq_traverse(),
             do_rerank=pq is not None and rerank > 0,
+            has_deletes=has_deletes,
             metric_euclidean=metric_euclidean, cosine=cosine, medoid=medoid,
             ef=ef, B=B, rerank=rerank, limit=limit,
         ))
-        return lambda query: run(adj, vecs, codes, cb, rot, query)
+        return lambda query: run(adj, vecs, codes, cb, rot, alive, query)
 
     @staticmethod
-    def _searcher_impl(adj, vecs, codes, cb, rot, query, *, use_pq, do_rerank,
-                       metric_euclidean, cosine, medoid, ef, B, rerank, limit):
+    def _searcher_impl(adj, vecs, codes, cb, rot, alive, query, *, use_pq,
+                       do_rerank, has_deletes, metric_euclidean, cosine,
+                       medoid, ef, B, rerank, limit):
         from ..codecs.pq import _dist_mat_ip, _dist_mat_l2
 
         q = jnp.asarray(query, dtype=jnp.float32)
@@ -280,6 +306,8 @@ class GraphIndex(BaseIndex):
             d, ids = beam_search_vectors(
                 adj, entry, vecs, q, metric_euclidean, k=ef, L=ef, B=B
             )
+        if has_deletes:
+            d, ids = _mask_candidates(d, ids, alive)
         if do_rerank:
             r = min(rerank, ids.shape[1])
             cid, cd = ids[:, :r], d[:, :r]
@@ -332,6 +360,7 @@ class GraphIndex(BaseIndex):
                 metric_ip=metric_ip, l_build=self.l_build,
             )
         self._vectors = np.zeros((0, self.dim), dtype=np.float32)
+        self._alive = np.zeros(0, dtype=bool)
         self._dev_adj = self._dev_vectors = self._dev_codes = None
         self._dirty = True
 
@@ -349,6 +378,7 @@ class GraphIndex(BaseIndex):
             'kind': np.array('graph'),
             'vectors': self._vectors.copy(),
             'adjacency': adj,
+            'alive': self._alive.copy(),
         }
 
     def load_state_arrays(self, state):
@@ -365,10 +395,26 @@ class GraphIndex(BaseIndex):
             self._vectors = np.asarray(v, dtype=np.float32)
             if self.build_mode == 'device':
                 self._vectors = self._graph.vectors
+        self._alive = (
+            np.asarray(state['alive'], dtype=bool)
+            if 'alive' in state
+            else np.ones(v.shape[0], dtype=bool)
+        )
         self._dirty = True
 
 
 from functools import partial
+
+
+@jax.jit
+def _mask_candidates(d, ids, mask):
+    """Drop non-passing candidates (filter predicate and/or soft-deletes)
+    and re-sort, keeping the array width: masked slots score BIG."""
+    valid = (ids >= 0) & (ids < mask.shape[0])
+    passing = jnp.where(valid, mask[jnp.clip(ids, 0, mask.shape[0] - 1)], False)
+    d = jnp.where(passing, d, BIG)
+    neg, pos = jax.lax.top_k(-d, d.shape[1])
+    return -neg, jnp.take_along_axis(ids, pos, axis=1)
 
 
 @partial(jax.jit, static_argnums=(3, 4))

@@ -62,6 +62,7 @@ class AnnLite:
         ef_construction: int = 64,
         ef_search: int = 64,
         graph_build_mode: str = 'host',
+        auto_compact_dead_fraction: Optional[float] = None,
         **kwargs,
     ):
         self.logger = setup_logging(verbose)
@@ -92,6 +93,7 @@ class AnnLite:
         self.ef_construction = ef_construction
         self.graph_build_mode = graph_build_mode
         self.ef_search = ef_search
+        self.auto_compact_dead_fraction = auto_compact_dead_fraction
 
         if columns is None and filterable_attrs:
             columns = list(filterable_attrs.items())
@@ -344,6 +346,26 @@ class AnnLite:
         self._check_writable()
         ids = [d.id if isinstance(d, Doc) else d for d in docs]
         self._container.delete(ids, raise_errors_on_not_found)
+        self._maybe_auto_compact()
+
+    def _maybe_auto_compact(self):
+        """Reclaim soft-deleted rows once the index reports a dead fraction
+        above ``auto_compact_dead_fraction`` (graph indexes keep dead nodes
+        in the adjacency until compaction; hnswlib analogue:
+        `include/hnswlib/hnswalg.h:869-944` soft-delete marks)."""
+        thr = self.auto_compact_dead_fraction
+        if thr is None:
+            return
+        dead = getattr(self._container.index, 'dead_fraction', None)
+        if dead is None:
+            # fall back to the container's bitmap for non-graph indexes
+            alive = self._container._alive
+            dead = float((~alive).sum()) / len(alive) if len(alive) else 0.0
+        if dead > thr:
+            self.logger.info(
+                f'auto-compact: dead fraction {dead:.2f} > {thr:.2f}'
+            )
+            self.compact()
 
     # ------------------------------------------------------------------
     # search (reference `index.py:334-522`)

@@ -531,6 +531,11 @@ class ShardedGraphIndex(BaseIndex):
     def n_deleted(self) -> int:
         return int((~self._alive).sum())
 
+    @property
+    def dead_fraction(self) -> float:
+        n = self._alive.shape[0]
+        return float(self.n_deleted) / n if n else 0.0
+
     def _sync_placed(self):
         if not self._dirty and self._placed is not None:
             return self._placed

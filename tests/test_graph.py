@@ -173,3 +173,76 @@ def test_device_searcher_opq_matches_eager(data):
     run = idx.device_searcher(limit=10)
     d_j, ids_j = (np.asarray(a) for a in run(jnp.asarray(data[:8])))
     np.testing.assert_array_equal(ids_e, ids_j)
+
+
+def test_heavy_deletion_recall(data):
+    """Recall against the ALIVE ground truth after deleting 30% of the
+    corpus (reference soft-delete semantics:
+    `include/hnswlib/hnswalg.h:869-944`): traversal still routes through
+    dead nodes, but none may appear in results."""
+    rng = np.random.default_rng(7)
+    idx = GraphIndex(D, metric=Metric.EUCLIDEAN, max_degree=24, ef_search=64)
+    idx.add_with_ids(data, np.arange(N))
+    dead = rng.choice(N, size=int(0.3 * N), replace=False)
+    idx.delete_rows(dead)
+    assert idx.n_deleted == len(dead)
+    assert 0.29 < idx.dead_fraction < 0.31
+    q = data[100:120]
+    d, ids = idx.search(q, limit=10)
+    # no dead node in any result
+    dead_set = set(dead.tolist())
+    assert not (set(ids.ravel().tolist()) & dead_set)
+    # recall vs brute force over the alive rows only
+    alive = np.setdiff1d(np.arange(N), dead)
+    d2 = ((q[:, None, :] - data[alive][None]) ** 2).sum(-1)
+    gt = alive[np.argsort(d2, axis=1)[:, :10]]
+    rec = np.mean([
+        len(set(gt[i].tolist()) & set(ids[i].tolist())) / 10
+        for i in range(len(q))
+    ])
+    assert rec >= 0.9, f'recall under 30% deletion: {rec}'
+
+
+def test_deletion_device_searcher_and_snapshot(data):
+    import jax.numpy as jnp
+
+    idx = GraphIndex(D, metric=Metric.EUCLIDEAN, max_degree=24, ef_search=64)
+    idx.add_with_ids(data, np.arange(N))
+    _, ids0 = idx.search(data[:4], limit=5)
+    idx.delete_rows(ids0[:, 0])  # kill each query's own top hit
+    # eager path
+    _, ids1 = idx.search(data[:4], limit=5)
+    assert not (set(ids1.ravel().tolist()) & set(ids0[:, 0].tolist()))
+    # jitted device searcher
+    run = idx.device_searcher(limit=5)
+    _, ids_j = (np.asarray(a) for a in run(jnp.asarray(data[:4])))
+    assert not (set(ids_j.ravel().tolist()) & set(ids0[:, 0].tolist()))
+    # snapshot carries the delete bitmap
+    st = idx.state_arrays()
+    idx2 = GraphIndex(D, metric=Metric.EUCLIDEAN, max_degree=24, ef_search=64)
+    idx2.load_state_arrays(st)
+    assert idx2.n_deleted == idx.n_deleted
+    _, ids2 = idx2.search(data[:4], limit=5)
+    assert not (set(ids2.ravel().tolist()) & set(ids0[:, 0].tolist()))
+
+
+def test_auto_compact_on_dead_fraction(tmp_index_path, data):
+    """Facade-level auto-compact: crossing the dead-fraction threshold
+    rebuilds the graph without the dead rows."""
+    from annlite_tpu import AnnLite
+    from annlite_tpu.doc import Doc
+
+    n = 400
+    ann = AnnLite(n_dim=D, metric='euclidean', index_type='graph',
+                  auto_compact_dead_fraction=0.25,
+                  data_path=tmp_index_path + '/ac')
+    ann.index([Doc(id=f'd{i}', embedding=data[i]) for i in range(n)])
+    assert ann._container.index.size == n
+    ann.delete([f'd{i}' for i in range(0, n, 3)])  # ~33% dead
+    idx = ann._container.index
+    assert idx.n_deleted == 0, 'auto-compact should have rebuilt'
+    assert idx.size == n - len(range(0, n, 3))
+    _, ids = ann.search_numpy(data[1:2], limit=5)
+    assert ids[0][0] == 'd1'
+    assert 'd0' not in ids[0]
+    ann.close()
