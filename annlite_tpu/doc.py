@@ -12,6 +12,20 @@ import msgpack
 import numpy as np
 
 
+def _np_default(obj):
+    """msgpack fallback: numpy scalars in tags (np.int64 bucket ids etc.)
+    serialize as their Python equivalents instead of raising."""
+    if isinstance(obj, np.integer):
+        return int(obj)
+    if isinstance(obj, np.floating):
+        return float(obj)
+    if isinstance(obj, np.bool_):
+        return bool(obj)
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    raise TypeError(f'cannot serialize {type(obj)!r} in Doc tags')
+
+
 @dataclass
 class Doc:
     id: str
@@ -28,7 +42,7 @@ class Doc:
             payload['emb'] = emb.tobytes()
             payload['emb_dtype'] = str(emb.dtype)
             payload['emb_shape'] = list(emb.shape)
-        return msgpack.packb(payload, use_bin_type=True)
+        return msgpack.packb(payload, use_bin_type=True, default=_np_default)
 
     @classmethod
     def from_bytes(cls, data: bytes) -> 'Doc':

@@ -127,13 +127,23 @@ class FlatIndex(BaseIndex):
             )
         return np.asarray(d), np.asarray(idx)
 
-    def device_searcher(self, limit: int = 10, mask: Optional[np.ndarray] = None):
+    def device_searcher(
+        self,
+        limit: int = 10,
+        mask: Optional[np.ndarray] = None,
+        with_carry: bool = False,
+    ):
         """Jitted, device-resident search callable: ``query [Q, D] f32
         (device array) → (dists [Q, limit], idx [Q, limit])`` without
         per-call host transfers — the serving-loop/benchmark twin of
         ``search`` (same product kernels, `ops/scan.py`), mirroring
         `GraphIndex.device_searcher`.  Captures the current buffers —
-        rebuild after inserts."""
+        rebuild after inserts.  ``with_carry``: the callable becomes
+        ``(query, carry) → (d, idx, carry')`` for carry-chained timing
+        (block_until_ready is unreliable through remote-attached chips —
+        see bench.py).  Buffers are jit ARGUMENTS, not closure captures
+        (closed-over constants bloat the executable past remote-compile
+        transport limits)."""
         x = self._buf.device_view()
         norms = self._norms.device_view()
         n_pad = x.shape[0]
@@ -144,26 +154,35 @@ class FlatIndex(BaseIndex):
             m[: self.size] = np.asarray(mask[: self.size], dtype=np.int8)
         m = jnp.asarray(m)
         k = min(limit, max(self.size, 1))
-        metric, exact = int(self.metric), self.exact_topk
-        cosine = self.metric == Metric.COSINE
-        if self.scan_mode == 'exact':
-            def run(q):
-                q = l2_normalize(q) if cosine else q
-                return _flat_search(q, x, norms, m, k, metric, exact)
-
-            return run
-        scan = self._scan_buf.device_view()
+        use_scan = self.scan_mode != 'exact'
+        scan = self._scan_buf.device_view() if use_scan else x
         scale = self._scale.device_view() if self._scale is not None else None
-        packed = self.scan_mode == 'int4'
+        run = jax.jit(partial(
+            FlatIndex._searcher_impl,
+            k=k, metric=self.metric, exact=self.exact_topk,
+            packed=self.scan_mode == 'int4',
+            cosine=self.metric == Metric.COSINE, use_scan=use_scan,
+            has_scale=scale is not None,
+        ))
+        if with_carry:
+            return lambda q, carry: run(x, scan, scale, norms, m, q, carry)
+        zero = jnp.float32(0.0)
+        return lambda q: run(x, scan, scale, norms, m, q, zero)[:2]
 
-        def run(q):
-            q = l2_normalize(q) if cosine else q
-            return scan_topk(
-                q, scan, scale, norms, m, k, self.metric, x_f32=x,
-                packed_int4=packed,
+    @staticmethod
+    def _searcher_impl(x, scan, scale, norms, m, q, carry, *, k, metric,
+                       exact, packed, cosine, use_scan, has_scale):
+        q = q + carry * 1e-12  # serialize chained dispatches
+        if cosine:
+            q = l2_normalize(q)
+        if use_scan:
+            d, i = scan_topk(
+                q, scan, scale if has_scale else None, norms, m, k, metric,
+                x_f32=x, packed_int4=packed,
             )
-
-        return run
+        else:
+            d, i = _flat_search(q, x, norms, m, k, int(metric), exact)
+        return d, i, d[0, 0]
 
     def reset(self):
         self._buf.reset()

@@ -225,3 +225,56 @@ def test_compact_reclaims_dead_rows(tmp_index_path, docs):
     a.index([Doc(id='fresh', embedding=docs[0].embedding, tags={'idx': -1})])
     assert a.index_size == N - 99
     a.close()
+
+
+def test_bulk_crud_20k(tmp_index_path, rng):
+    """Bulk contract at scale (reference exercises 20k-doc bulk adds via the
+    DocArray backend, `tests/docarray/`): 20k insert, duplicate-id
+    IntegrityError, bulk update, bulk delete, filtered search — all through
+    the facade."""
+    import sqlite3
+
+    D, N = 32, 20_000
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    ann = AnnLite(n_dim=D, metric='cosine', columns=[('bucket', int)],
+                  data_path=tmp_index_path + '/bulk')
+    docs = [
+        Doc(id=f'd{i}', embedding=x[i], tags={'bucket': i % 10})
+        for i in range(N)
+    ]
+    for s in range(0, N, 5000):
+        ann.index(docs[s:s + 5000])
+    st = ann.stat
+    assert int(st['total_docs']) == N
+
+    # conflict ids raise (same contract as the reference's sqlite UNIQUE)
+    with pytest.raises(sqlite3.IntegrityError):
+        ann.index([Doc(id='d7', embedding=x[7])])
+
+    # self-match across the whole range
+    probe = rng.integers(0, N, 20)
+    _, ids = ann.search_numpy(x[probe], limit=3)
+    assert sum(ids[i][0] == f'd{probe[i]}' for i in range(20)) >= 19
+
+    # bulk update: move 1k docs to new embeddings; they must follow
+    upd = rng.integers(0, N, 1000)
+    x2 = rng.standard_normal((1000, D)).astype(np.float32)
+    ann.update([
+        Doc(id=f'd{j}', embedding=x2[i], tags={'bucket': j % 10})
+        for i, j in enumerate(upd[:1000])
+    ])
+    _, ids = ann.search_numpy(x2[:10], limit=1)
+    assert sum(ids[i][0] == f'd{upd[i]}' for i in range(10)) >= 9
+
+    # bulk delete 2k; none may surface again
+    dead = [f'd{i}' for i in range(0, N, 10)]
+    ann.delete(dead)
+    assert int(ann.stat['total_docs']) == N - len(dead)
+    _, ids = ann.search_numpy(x[0:1], limit=10)
+    assert 'd0' not in ids[0]
+
+    # filtered search at scale honors the predicate
+    r = ann.search_by_vectors(x[:4], filter={'bucket': {'$eq': 3}}, limit=5,
+                              include_metadata=True)
+    assert all(m.tags['bucket'] == 3 for row in r for m in row)
+    ann.close()
