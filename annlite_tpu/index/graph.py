@@ -52,13 +52,18 @@ class GraphIndex(BaseIndex):
         super().__init__(dim=dim, metric=metric, **kwargs)
         if build_mode not in ('host', 'device'):
             raise ValueError(f'unknown build_mode {build_mode!r}')
-        if traverse not in ('auto', 'pq', 'vectors'):
+        if traverse not in ('auto', 'pq', 'vectors', 'packed'):
             raise ValueError(f'unknown traverse {traverse!r}')
         # 'auto': score traversal with resident vectors whenever they exist
         # (with rerank > 0 the bf16 copy is resident anyway, and the MXU dot
         # is both faster and more accurate than the VPU-bound per-query PQ
         # LUT: 26 -> ~7 ms/batch at 1.2M/200-d/m=100).  'pq' forces LUT
         # traversal (the true low-memory mode, rerank=0, no vector copy).
+        # 'packed': DiskANN-style packed-neighbor layout — each expansion
+        # gathers ONE contiguous row holding all R neighbors' int8 vectors
+        # (`ops/beam.py pack_neighbors`), killing the 8x gather tile
+        # amplification; costs R x corpus bytes at int8 and always reranks
+        # exactly (int8 traversal scores are approximate).
         self.traverse = traverse
         self.max_degree = max_degree
         self.alpha = alpha
@@ -93,6 +98,7 @@ class GraphIndex(BaseIndex):
         self._dev_adj = None
         self._dev_vectors = None
         self._dev_codes = None
+        self._packed = None  # (packed_i8, scale, norms) for traverse='packed'
         self._dirty = True
 
     @property
@@ -169,9 +175,13 @@ class GraphIndex(BaseIndex):
         if self.pq_codec is not None:
             codes = self.pq_codec.encode(self._vectors)
             self._dev_codes = jnp.asarray(codes)  # row-major [N, M]
-        # traverse='vectors' forces the resident copy even at rerank=0
-        # (otherwise it would silently degrade to PQ traversal)
-        if self.pq_codec is None or self.rerank > 0 or self.traverse == 'vectors':
+        # traverse='vectors'/'packed' force the resident copy even at
+        # rerank=0 (packed traversal is int8-approximate and needs a rerank
+        # source; 'vectors' would otherwise silently degrade to PQ)
+        if (
+            self.pq_codec is None or self.rerank > 0
+            or self.traverse in ('vectors', 'packed')
+        ):
             dt = jnp.bfloat16 if self.pq_codec is not None else jnp.float32
             if dev_vecs is not None:
                 self._dev_vectors = (
@@ -179,6 +189,14 @@ class GraphIndex(BaseIndex):
                 )
             else:
                 self._dev_vectors = jnp.asarray(self._vectors, dtype=dt)
+        if self.traverse == 'packed' and self.size:
+            from ..ops.beam import pack_neighbors
+
+            adj_np = np.asarray(self._dev_adj)
+            self._packed = pack_neighbors(
+                adj_np, self._dev_vectors,
+                need_norms=self.metric == Metric.EUCLIDEAN,
+            )
         self._dirty = False
 
     def search(self, query: np.ndarray, limit: int = 10, mask: Optional[np.ndarray] = None):
@@ -217,7 +235,16 @@ class GraphIndex(BaseIndex):
         ef = max(self.ef_search, 4 * limit)
         entry = jnp.full((q, 1), self._graph.medoid, dtype=jnp.int32)
         metric_euclidean = self.metric == Metric.EUCLIDEAN
-        if self._pq_traverse():
+        if self._packed is not None:
+            from ..ops.beam import beam_search_packed
+
+            pk, sc, nm = self._packed
+            d, ids = beam_search_packed(
+                self._dev_adj, entry, pk, sc, nm, self._dev_vectors,
+                jnp.asarray(query), metric_euclidean,
+                k=ef, L=ef, B=self.beam_width,
+            )
+        elif self._pq_traverse():
             dtable = jnp.asarray(self.pq_codec.get_dist_mat(query))
             d, ids = beam_search_pq(
                 self._dev_adj, entry, self._dev_codes, dtable,
@@ -234,12 +261,26 @@ class GraphIndex(BaseIndex):
             d, ids = _mask_candidates(
                 d, ids, jnp.asarray(np.asarray(mask, dtype=np.bool_))
             )
-        if self.pq_codec is not None and self.rerank > 0:
-            # PQ traversal, or traversal on the bf16 copy: refine the
-            # boundary at full precision
-            d, ids = self._rerank_stage(query, ids, d, limit, metric_euclidean)
+        if self._needs_rerank():
+            # PQ/int8-packed traversal, or traversal on the bf16 copy:
+            # refine the boundary at full precision
+            d, ids = self._rerank_stage(
+                query, ids, d, limit, metric_euclidean,
+                r=self._effective_rerank(limit),
+            )
         d, ids = np.asarray(d), np.asarray(ids)
         return d[:, :limit], ids[:, :limit]
+
+    def _needs_rerank(self) -> bool:
+        if self.traverse == 'packed':
+            return True  # int8 traversal scores are approximate
+        return self.pq_codec is not None and self.rerank > 0
+
+    def _effective_rerank(self, limit: int) -> int:
+        r = self.rerank if self.rerank > 0 else 0
+        if self.traverse == 'packed':
+            r = max(r, 4 * limit)
+        return r
 
     def device_searcher(self, limit: int = 10):
         """Build a jitted, device-resident search callable: ``query [Q, D]
@@ -274,26 +315,38 @@ class GraphIndex(BaseIndex):
         alive = (
             jnp.asarray(self._alive) if has_deletes else None
         )
+        packed = self._packed if self.traverse == 'packed' else None
         run = jax.jit(partial(
             GraphIndex._searcher_impl, use_pq=self._pq_traverse(),
-            do_rerank=pq is not None and rerank > 0,
+            use_packed=packed is not None,
+            do_rerank=self._needs_rerank(),
             has_deletes=has_deletes,
             metric_euclidean=metric_euclidean, cosine=cosine, medoid=medoid,
-            ef=ef, B=B, rerank=rerank, limit=limit,
+            ef=ef, B=B, rerank=self._effective_rerank(limit), limit=limit,
         ))
-        return lambda query: run(adj, vecs, codes, cb, rot, alive, query)
+        return lambda query: run(adj, vecs, codes, cb, rot, alive, packed,
+                                 query)
 
     @staticmethod
-    def _searcher_impl(adj, vecs, codes, cb, rot, alive, query, *, use_pq,
-                       do_rerank, has_deletes, metric_euclidean, cosine,
-                       medoid, ef, B, rerank, limit):
+    def _searcher_impl(adj, vecs, codes, cb, rot, alive, packed, query, *,
+                       use_pq, use_packed, do_rerank, has_deletes,
+                       metric_euclidean, cosine, medoid, ef, B, rerank,
+                       limit):
         from ..codecs.pq import _dist_mat_ip, _dist_mat_l2
 
         q = jnp.asarray(query, dtype=jnp.float32)
         if cosine:
             q = l2_normalize(q)
         entry = jnp.full((q.shape[0], 1), medoid, dtype=jnp.int32)
-        if use_pq:
+        if use_packed:
+            from ..ops.beam import beam_search_packed
+
+            pk, sc, nm = packed
+            d, ids = beam_search_packed(
+                adj, entry, pk, sc, nm, vecs, q, metric_euclidean,
+                k=ef, L=ef, B=B,
+            )
+        elif use_pq:
             q_enc = q if rot is None else jnp.dot(
                 q, rot, precision=jax.lax.Precision.HIGHEST
             )
@@ -326,8 +379,9 @@ class GraphIndex(BaseIndex):
             return -neg, jnp.take_along_axis(cid, pos, axis=1)
         return d[:, :limit], ids[:, :limit]
 
-    def _rerank_stage(self, query, cand_ids, cand_d, limit, metric_euclidean):
-        r = min(self.rerank, cand_ids.shape[1])
+    def _rerank_stage(self, query, cand_ids, cand_d, limit, metric_euclidean,
+                      r=None):
+        r = min(r if r is not None else self.rerank, cand_ids.shape[1])
         cand_ids = cand_ids[:, :r]
         cand_d = cand_d[:, :r]
         vecs = self._dev_vectors
@@ -362,6 +416,7 @@ class GraphIndex(BaseIndex):
         self._vectors = np.zeros((0, self.dim), dtype=np.float32)
         self._alive = np.zeros(0, dtype=bool)
         self._dev_adj = self._dev_vectors = self._dev_codes = None
+        self._packed = None
         self._dirty = True
 
     # ----- snapshot state -----

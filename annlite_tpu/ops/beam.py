@@ -96,7 +96,12 @@ def _sorted_seed(entry_ids, score_fn, L):
     return ids0, d0, exp0
 
 
-def _beam_loop(adjacency, entry_ids, L, B, iters, k, score_fn):
+def _beam_loop(adjacency, entry_ids, L, B, iters, k, score_fn,
+               expand_fn=None):
+    """``expand_fn(safe_sel [Q, B], sel_valid [Q, B]) -> (nbr_ids [Q, B*R],
+    nbr_dists [Q, B*R])`` overrides the default expand step (adjacency
+    gather + ``score_fn``) — used by the packed-neighbor layout, where one
+    gathered row carries all of a node's neighbor vectors."""
     q = entry_ids.shape[0]
     r = adjacency.shape[1]
 
@@ -124,9 +129,12 @@ def _beam_loop(adjacency, entry_ids, L, B, iters, k, score_fn):
         )
         # ---- expand: gather neighbor rows -> [Q, B*R] ----
         safe_sel = jnp.where(sel_valid, sel_ids, 0)
-        nbrs = adjacency[safe_sel].reshape(q, B * r)
-        nbrs = jnp.where(jnp.repeat(sel_valid, r, axis=1), nbrs, -1)
-        nd = score_fn(nbrs)
+        if expand_fn is not None:
+            nbrs, nd = expand_fn(safe_sel, sel_valid)
+        else:
+            nbrs = adjacency[safe_sel].reshape(q, B * r)
+            nbrs = jnp.where(jnp.repeat(sel_valid, r, axis=1), nbrs, -1)
+            nd = score_fn(nbrs)
         nbrs = jnp.where(nd < BIG, nbrs, NO_ID).astype(jnp.int32)
         # ---- merge: dedup by id (expanded copy wins), re-sort by d, trim --
         all_ids = jnp.concatenate([ids, nbrs], axis=1)
@@ -165,6 +173,100 @@ def _beam_vec(adjacency, entry_ids, vectors, queries, metric_euclidean, L, B, it
 def _beam_pq(adjacency, entry_ids, codes, dtable, L, B, iters, k):
     score = make_pq_scorer(codes, dtable)
     return _beam_loop(adjacency, entry_ids, L, B, iters, k, score)
+
+
+# ---------------------------------------------------------------------------
+# packed-neighbor layout (DiskANN-style): one gathered row per EXPANDED node
+# carries all R neighbor vectors, int8-quantized
+# ---------------------------------------------------------------------------
+
+def pack_neighbors(adjacency, vectors, need_norms: bool, chunk: int = 8192):
+    """Layout transform for serving: ``packed[u] = int8(vectors[adj[u]])``
+    flattened to ``[N, R*D]``, with per-neighbor ``scale [N, R]`` (and
+    ``norms [N, R]`` for L2).
+
+    Why: the beam's hot step gathers B·R scattered vector rows per query
+    per iteration; HBM is (8, 128)-tiled, so every D-byte row costs an
+    8-row tile (8x amplification) and its own DMA.  Packed, the same step
+    gathers only B rows of R·D bytes — contiguous, amplification-free —
+    the TPU analogue of DiskANN's node-block layout (neighbors inline with
+    the node).  Costs R× corpus bytes at int8, so it is gated on memory
+    (`index/graph.py traverse='packed'`)."""
+    n, r = adjacency.shape
+    d = vectors.shape[1]
+    outs, scales, norms = [], [], []
+    vecs = jnp.asarray(vectors)
+
+    @jax.jit
+    def pack_chunk(adj_c, vecs):
+        safe = jnp.clip(adj_c, 0, vecs.shape[0] - 1)
+        g = vecs[safe].astype(jnp.float32)  # [C, R, D]
+        sc = jnp.max(jnp.abs(g), axis=-1) / 127.0  # [C, R]
+        q8 = jnp.clip(
+            jnp.round(g / jnp.maximum(sc, 1e-12)[..., None]), -127, 127
+        ).astype(jnp.int8)
+        nm = jnp.sum(g * g, axis=-1)
+        return q8.reshape(adj_c.shape[0], r * d), sc, nm
+
+    for s in range(0, n, chunk):
+        adj_c = jnp.asarray(adjacency[s:s + chunk])
+        q8, sc, nm = pack_chunk(adj_c, vecs)
+        outs.append(q8)
+        scales.append(sc)
+        if need_norms:
+            norms.append(nm)
+    packed = jnp.concatenate(outs)
+    scale = jnp.concatenate(scales)
+    nrm = jnp.concatenate(norms) if need_norms else None
+    return packed, scale, nrm
+
+
+@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12))
+def _beam_packed(adjacency, packed, scale, norms, entry_ids, seed_vectors,
+                 queries, q_norms, metric_euclidean, L, B, iters, k):
+    q, r = entry_ids.shape[0], adjacency.shape[1]
+    d = queries.shape[1]
+    seed_score = make_vector_scorer(seed_vectors, queries, metric_euclidean)
+
+    def expand(safe_sel, sel_valid):
+        nbr_ids = adjacency[safe_sel].reshape(q, B * r)
+        nbr_ids = jnp.where(jnp.repeat(sel_valid, r, axis=1), nbr_ids, -1)
+        pv = packed[safe_sel].reshape(q, B * r, d).astype(jnp.float32)
+        sc = scale[safe_sel].reshape(q, B * r)
+        dots = jnp.einsum(
+            'qd,qcd->qc', queries, pv, preferred_element_type=jnp.float32
+        ) * sc
+        if metric_euclidean:
+            nd = q_norms[:, None] + norms[safe_sel].reshape(q, B * r) - 2.0 * dots
+        else:
+            nd = 1.0 - dots
+        valid = (nbr_ids >= 0) & (nbr_ids < seed_vectors.shape[0])
+        return nbr_ids, jnp.where(valid, nd, BIG)
+
+    return _beam_loop(adjacency, entry_ids, L, B, iters, k, seed_score,
+                      expand_fn=expand)
+
+
+def beam_search_packed(
+    adjacency, entry_ids, packed, scale, norms, seed_vectors, queries,
+    metric_euclidean: bool,
+    k: int = 10, L: int = 64, B: int = 16, iters: Optional[int] = None,
+):
+    """Beam search over the packed-neighbor layout (`pack_neighbors`):
+    expansion gathers ONE contiguous ``R*D``-byte row per expanded node
+    instead of R scattered vector rows.  Traversal scores are int8-dequant
+    approximations — pair with an exact rerank stage for final ranking."""
+    _check_corpus_fits(adjacency.shape[0])
+    B = min(B, L)
+    iters = _resolve_iters(iters, L, B)
+    if metric_euclidean:
+        q_norms = jnp.sum(queries * queries, axis=1)
+    else:
+        q_norms = jnp.zeros(queries.shape[0], jnp.float32)
+        norms = scale  # unused placeholder with a traceable shape
+    return _beam_packed(adjacency, packed, scale, norms, entry_ids,
+                        seed_vectors, queries, q_norms, bool(metric_euclidean),
+                        L, B, iters, k)
 
 
 @partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))

@@ -13,7 +13,7 @@ Transport lives in `serving/http.py`; this class is transport-agnostic so a
 gRPC front-end can reuse it.
 """
 import threading
-import time
+
 import traceback
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -62,6 +62,11 @@ class AnnLiteIndexer:
         self._index_batch_size = INDEX_BATCH_SIZE
         self._max_length_queue = 2 * self._index_batch_size
         self._index_lock = threading.RLock()
+        # drain/backpressure coordination: the loop notifies after every
+        # committed batch, writers notify after every enqueue — flush() and
+        # the backpressure wait are event-driven, not polled (deterministic
+        # tests; the reference sleeps instead, `tests/.../sleep(2)`)
+        self._cv = threading.Condition(self._index_lock)
         self._stop = False
         # poison docs are quarantined here instead of killing the ingest
         # loop (reference pattern: `annlite/executor.py:141-175` keeps the
@@ -89,11 +94,12 @@ class AnnLiteIndexer:
 
     def _start_index_loop(self):
         def _index_loop():
-            while not self._stop:
-                if not self._data_buffer:
-                    time.sleep(0.05)
-                    continue
-                with self._index_lock:
+            while True:
+                with self._cv:
+                    while not self._data_buffer and not self._stop:
+                        self._cv.wait(timeout=0.5)
+                    if self._stop and not self._data_buffer:
+                        return
                     n = min(len(self._data_buffer), self._index_batch_size)
                     batch, self._data_buffer = (
                         self._data_buffer[:n],
@@ -110,6 +116,9 @@ class AnnLiteIndexer:
                             f'{traceback.format_exc()}'
                         )
                         self._index_one_by_one(batch)
+                    # batch committed under the lock: flush()/backpressure
+                    # waiters can re-check now
+                    self._cv.notify_all()
 
         self._index_thread = threading.Thread(target=_index_loop, daemon=True)
         self._index_thread.start()
@@ -135,13 +144,12 @@ class AnnLiteIndexer:
 
     def flush(self):
         """Block until the write buffer is fully drained AND the in-flight
-        batch has committed (the lock is held while a batch indexes)."""
-        while True:
-            with self._index_lock:
-                if not self._data_buffer:
-                    return
-            self._check_loop_alive()
-            time.sleep(0.01)
+        batch has committed (the loop indexes under the lock, so observing
+        an empty buffer here implies the last batch committed)."""
+        with self._cv:
+            while self._data_buffer:
+                self._check_loop_alive()
+                self._cv.wait(timeout=0.5)
 
     # ------------------------------------------------------------------
     # endpoints
@@ -150,13 +158,14 @@ class AnnLiteIndexer:
     def index(self, docs: Optional[List[Doc]] = None, parameters: Dict = None, **kw):
         if not docs:
             return
-        # backpressure (reference `executor.py:135-136`), bounded: if the
-        # ingest loop died the wait would otherwise spin forever
-        while len(self._data_buffer) >= self._max_length_queue:
-            self._check_loop_alive()
-            time.sleep(0.001)
-        with self._index_lock:
+        with self._cv:
+            # backpressure (reference `executor.py:135-136`), bounded: if
+            # the ingest loop died the wait would otherwise block forever
+            while len(self._data_buffer) >= self._max_length_queue:
+                self._check_loop_alive()
+                self._cv.wait(timeout=0.5)
             self._data_buffer.extend(docs)
+            self._cv.notify_all()
 
     def update(self, docs: Optional[List[Doc]] = None, parameters: Dict = None, **kw):
         if not docs:
@@ -259,6 +268,8 @@ class AnnLiteIndexer:
 
     def close(self):
         self.flush()
-        self._stop = True
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
         self._index_thread.join(timeout=5)
         self._index.close()

@@ -2,7 +2,6 @@
 3-shard gateway — mirrors the reference's distributed test strategy
 (`tests/executor/test_executor.py:268-377`: real transport, shards=3,
 scatter writes / broadcast reads, per-shard status sum)."""
-import time
 
 import numpy as np
 import pytest
@@ -37,7 +36,6 @@ def test_async_buffer_indexing(executor, rng):
     docs = _docs(rng, 50)
     executor.index(docs)
     executor.flush()
-    time.sleep(0.2)  # let the batch commit
     st = executor.status()
     assert st['total_docs'] == 50
     assert st['buffer_size'] == 0
@@ -58,7 +56,6 @@ def test_search_and_filter_endpoints(executor, rng):
     docs = _docs(rng, 30)
     executor.index(docs)
     executor.flush()
-    time.sleep(0.3)
     q = [Doc(id='q', embedding=docs[3].embedding)]
     res = executor.search(q, parameters={'limit': 5})
     assert res[0].matches[0].id == 'doc3'
@@ -92,7 +89,6 @@ def test_http_server_roundtrip(tmp_path, rng):
         ]
         post('/index', {'docs': docs})
         ex.flush()
-        time.sleep(0.3)
         st = json.loads(urllib.request.urlopen(base + '/status', timeout=30).read())
         assert st['total_docs'] == 20
         r = post('/search', {'docs': [docs[4]], 'parameters': {'limit': 3}})
@@ -131,7 +127,6 @@ def test_sharded_gateway(tmp_path, rng):
             gw.index(docs[i : i + 10])
         for s in servers:
             s.executor.flush()
-        time.sleep(0.5)
         st = gw.status()
         assert st['total_docs'] == 30  # sum over shards
         per_shard = [s['total_docs'] for s in st['shards']]
@@ -169,7 +164,6 @@ def test_grpc_roundtrip(tmp_path, rng):
         docs = _docs(rng, 25)
         client.index(docs)
         ex.flush()
-        time.sleep(0.3)
         st = client.status()
         assert st['total_docs'] == 25
         r = client.search([Doc(id='q', embedding=docs[6].embedding)],
@@ -215,7 +209,6 @@ def test_http_concurrent_search_batching(tmp_path, rng):
         ]
         post('/index', {'docs': docs})
         ex.flush()
-        time.sleep(0.3)
 
         def one(i):
             r = post('/search', {'docs': [docs[i]], 'parameters': {'limit': 3}})
@@ -301,7 +294,6 @@ def test_poison_doc_quarantined_loop_alive(tmp_path, rng):
         good2 = _docs(rng, 5, start=5)
         ex.index(good1 + poison + good2)
         ex.flush()
-        time.sleep(0.3)
         st = ex.status()
         assert st['total_docs'] == 10
         assert st['quarantined_docs'] == 1
@@ -310,7 +302,6 @@ def test_poison_doc_quarantined_loop_alive(tmp_path, rng):
         # subsequent ingest still works
         ex.index(_docs(rng, 3, start=10))
         ex.flush()
-        time.sleep(0.2)
         assert ex.status()['total_docs'] == 13
         q = [Doc(id='q', embedding=_docs(rng, 1, start=0)[0].embedding)]
         assert ex.search(q, parameters={'limit': 3})[0].matches
@@ -344,7 +335,6 @@ def test_gateway_partial_failure_isolation(tmp_path, rng):
         gw.index(docs[5:])
         for s in servers:
             s.executor.flush()
-        time.sleep(0.3)
         # reads: healthy shards serve, failure reported in status
         st = gw.status()
         assert st['total_docs'] == 10
@@ -387,7 +377,6 @@ def test_gateway_remote_backup_restore_roundtrip(tmp_path, rng):
             gw.index(docs[i : i + 10])
         for s in servers:
             s.executor.flush()
-        time.sleep(0.3)
         assert gw.status()['total_docs'] == 30
 
         gw.backup('snap1', remote=art.url)

@@ -246,3 +246,67 @@ def test_auto_compact_on_dead_fraction(tmp_index_path, data):
     assert ids[0][0] == 'd1'
     assert 'd0' not in ids[0]
     ann.close()
+
+
+def test_packed_traverse_recall_and_searcher(data):
+    """traverse='packed' (DiskANN-style packed-neighbor int8 layout +
+    mandatory exact rerank) matches the vector-traversal results."""
+    import jax.numpy as jnp
+
+    idx = GraphIndex(D, metric=Metric.EUCLIDEAN, max_degree=24, ef_search=64,
+                     traverse='packed')
+    idx.add_with_ids(data, np.arange(N))
+    q = data[:10]
+    d, ids = idx.search(q, limit=10)
+    assert (np.diff(d, axis=1) >= -1e-4).all()
+    exact = np.argsort(((q[:, None] - data[None]) ** 2).sum(-1), axis=1)[:, :10]
+    rec = np.mean([len(set(exact[i]) & set(ids[i].tolist())) / 10
+                   for i in range(10)])
+    assert rec > 0.85, f'packed recall {rec}'
+    # rerank distances are exact f32
+    gt_d = np.sort(((q[:, None] - data[None]) ** 2).sum(-1), axis=1)[:, 0]
+    np.testing.assert_allclose(d[:, 0], gt_d, rtol=1e-4)
+    # jitted searcher parity
+    run = idx.device_searcher(limit=10)
+    d_j, ids_j = (np.asarray(a) for a in run(jnp.asarray(q)))
+    np.testing.assert_array_equal(ids, ids_j)
+    # deletes flow through the packed path too
+    idx.delete_rows(ids[:, 0])
+    _, ids2 = idx.search(q, limit=10)
+    assert not (set(ids2.ravel().tolist()) & set(ids[:, 0].tolist()))
+
+
+def test_filter_fallback_boundary(data, monkeypatch):
+    """Pins the fallback routing at the selectivity threshold: below
+    `filter_fallback_selectivity` a masked EXACT scan serves the query
+    (results must equal brute force exactly); above it graph traversal
+    serves it.  Guards the 0.25 constant against silent regressions."""
+    import annlite_tpu.index.graph as graph_mod
+
+    idx = GraphIndex(D, metric=Metric.EUCLIDEAN, max_degree=24, ef_search=64)
+    idx.add_with_ids(data, np.arange(N))
+    calls = {'fallback': 0}
+    orig = graph_mod._masked_exact_scan
+
+    def spy(*a, **kw):
+        calls['fallback'] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(graph_mod, '_masked_exact_scan', spy)
+    q = data[:8]
+    rng = np.random.default_rng(3)
+
+    # below threshold -> exact fallback, results == brute force
+    m_low = rng.random(N) < 0.2
+    d_low, ids_low = idx.search(q, limit=5, mask=m_low)
+    assert calls['fallback'] == 1
+    d2 = ((q[:, None, :] - data[None]) ** 2).sum(-1)
+    d2[:, ~m_low] = np.inf
+    gt = np.argsort(d2, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.sort(ids_low, 1), np.sort(gt, 1))
+
+    # above threshold -> graph traversal (no fallback call)
+    m_high = rng.random(N) < 0.5
+    _, ids_high = idx.search(q, limit=5, mask=m_high)
+    assert calls['fallback'] == 1
+    assert m_high[ids_high[ids_high >= 0]].all()
