@@ -433,6 +433,22 @@ class AnnLite:
             cells=self._cell_selection(query_np),
         )
 
+    def device_searcher(self, limit: int = 10, **kwargs):
+        """Jitted, device-resident searcher over the trained index: ``query
+        [Q, D] f32 (device array) → (dists [Q, limit], global_rows [Q,
+        limit])`` with no per-call host transfers — the production serving
+        hot path (eager ``search`` pays per-call dispatch + host↔device
+        copies that dominate on remote-attached chips).  Returns GLOBAL ROWS
+        (map to doc ids via ``_container.cell_table``); available for index
+        types with a device-resident twin (flat, graph).  Rebuild after
+        writes."""
+        idx = self._container.index
+        if not hasattr(idx, 'device_searcher'):
+            raise NotImplementedError(
+                f'{type(idx).__name__} has no device-resident searcher'
+            )
+        return idx.device_searcher(limit=limit, **kwargs)
+
     def filter(
         self,
         filter: Optional[Dict] = None,

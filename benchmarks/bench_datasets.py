@@ -35,7 +35,7 @@ def log(msg):
     print(f'[bench_datasets] {msg}', file=sys.stderr, flush=True)
 
 
-def chain_time(fn, make_args, carry0, reps=(2, 10), trials=3):
+def chain_time(fn, make_args, carry0, reps=(2, 12), trials=4):
     _ = np.asarray(fn(*make_args(0), carry0)[-1])
     ts = {}
     for K in reps:
