@@ -310,3 +310,23 @@ def test_filter_fallback_boundary(data, monkeypatch):
     _, ids_high = idx.search(q, limit=5, mask=m_high)
     assert calls['fallback'] == 1
     assert m_high[ids_high[ids_high >= 0]].all()
+
+
+def test_facade_device_searcher(tmp_index_path, data):
+    """AnnLite.device_searcher exposes the jitted device-resident hot path;
+    rows map back to the same docs the eager search returns."""
+    import jax.numpy as jnp
+    from annlite_tpu import AnnLite
+    from annlite_tpu.doc import Doc
+
+    n = 500
+    ann = AnnLite(n_dim=D, metric='euclidean', index_type='graph',
+                  data_path=tmp_index_path + '/ds')
+    ann.index([Doc(id=f'd{i}', embedding=data[i]) for i in range(n)])
+    run = ann.device_searcher(limit=5)
+    d_j, rows = (np.asarray(a) for a in run(jnp.asarray(data[:8])))
+    assert rows.shape == (8, 5)
+    assert (rows[:, 0] == np.arange(8)).all()  # rows are insertion order
+    _, ids_eager = ann.search_numpy(data[:8], limit=5)
+    assert all(ids_eager[i][0] == f'd{rows[i, 0]}' for i in range(8))
+    ann.close()
