@@ -453,7 +453,41 @@ def main():
     )
     graph_qps = Q / t_graph
     log(f'graph ef=128: {t_graph*1e3:.2f} ms/batch recall@10={recall_g:.4f}')
-    del gxd, adj_g
+
+    # packed-neighbor layout (ops/beam.pack_neighbors): one contiguous
+    # int8 row per expanded node instead of B*R scattered vector gathers,
+    # + exact rerank of the top-ef (int8 traversal is approximate)
+    log('graph packed-neighbor traversal timing')
+    from annlite_tpu.ops.beam import BIG as BEAM_BIG, beam_search_packed, pack_neighbors
+
+    pk_g, sc_g, nm_g = pack_neighbors(np.asarray(adj_g), gxd, need_norms=True)
+
+    @jax.jit
+    def graph_packed_chain(adj, pk, sc, nm, vecs, qv, carry):
+        qv = qv + carry * 1e-12
+        d, ids = beam_search_packed(
+            adj, entry_g, pk, sc, nm, vecs, qv, True, k=128, L=128, B=16
+        )
+        cvec = vecs[jnp.clip(ids, 0, vecs.shape[0] - 1)].astype(jnp.float32)
+        rd = jnp.sum((qv[:, None, :] - cvec) ** 2, axis=-1)
+        rd = jnp.where(d < BEAM_BIG / 2, rd, BEAM_BIG)
+        neg, pos = jax.lax.top_k(-rd, TOPK)
+        return -neg, jnp.take_along_axis(ids, pos, axis=1), -neg[0, 0]
+
+    ids_p = np.asarray(
+        graph_packed_chain(adj_g, pk_g, sc_g, nm_g, gxd, jnp.asarray(qv2), carry0)[1]
+    )
+    recall_gp = float(
+        np.mean([len(set(gt_g[i]) & set(ids_p[i])) / TOPK for i in range(Q)])
+    )
+    t_graph_p = chain_time(
+        graph_packed_chain,
+        lambda i: (adj_g, pk_g, sc_g, nm_g, gxd, qv2_sets[i % 4]), carry0
+    )
+    graph_packed_qps = Q / t_graph_p
+    log(f'graph packed ef=128: {t_graph_p*1e3:.2f} ms/batch '
+        f'recall@10={recall_gp:.4f}')
+    del pk_g, sc_g, nm_g, gxd, adj_g
 
     baseline_qps = 64 / 5.778  # reference README.md:350, batch=64 @ 1M
     result = {
@@ -485,6 +519,8 @@ def main():
             'graph_131k_768d_build_rows_per_s': round(GN / t_gbuild, 0),
             'graph_131k_768d_ef128_batch64_qps': round(graph_qps, 1),
             'graph_131k_768d_ef128_recall_at_10': round(recall_g, 4),
+            'graph_packed_131k_768d_ef128_batch64_qps': round(graph_packed_qps, 1),
+            'graph_packed_131k_768d_ef128_recall_at_10': round(recall_gp, 4),
             'baseline_qps': round(baseline_qps, 2),
             'baseline_recall': '<1.0 (HNSW ef=50)',
             'device': str(jax.devices()[0]),
