@@ -12,6 +12,7 @@ cross-device traffic is O(P·Q·k), never O(Q·N).
 Also provides a data-parallel Lloyd step (k-means training over sharded
 corpora with `psum`-merged centroid statistics).
 """
+from functools import lru_cache
 from typing import Optional
 
 import jax
@@ -52,12 +53,10 @@ def replicate(mesh: Mesh, x) -> jax.Array:
     return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
 
 
-def sharded_adc_topk(mesh: Mesh, dtable, codes_t, mask, k: int):
-    """Distributed masked ADC search.
-
-    dtable ``[Q, M, K]`` replicated; codes_t ``[M, N]`` sharded on N; mask
-    ``[N]`` sharded.  Returns replicated ``(dists[Q, k], global_idx[Q, k])``.
-    """
+@lru_cache(maxsize=128)
+def _adc_topk_prog(mesh: Mesh, k: int):
+    """One traced+compiled program per (mesh, k): rebuilding the shard_map
+    closure per call would retrace on EVERY search."""
 
     def local(dt, ct, mk):
         # per-shard score + local top-k (ct/mk are the local shard);
@@ -72,14 +71,22 @@ def sharded_adc_topk(mesh: Mesh, dtable, codes_t, mask, k: int):
         neg2, pos = jax.lax.top_k(-d_all, k)
         return -neg2, jnp.take_along_axis(i_all, pos, axis=1)
 
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(None, SHARD_AXIS), P(SHARD_AXIS)),
         out_specs=(P(), P()),
         check_vma=False,
-    )
-    return jax.jit(fn)(dtable, codes_t, mask)
+    ))
+
+
+def sharded_adc_topk(mesh: Mesh, dtable, codes_t, mask, k: int):
+    """Distributed masked ADC search.
+
+    dtable ``[Q, M, K]`` replicated; codes_t ``[M, N]`` sharded on N; mask
+    ``[N]`` sharded.  Returns replicated ``(dists[Q, k], global_idx[Q, k])``.
+    """
+    return _adc_topk_prog(mesh, k)(dtable, codes_t, mask)
 
 
 def shard_rows(
@@ -101,25 +108,15 @@ def shard_rows(
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
-def sharded_scan_topk(mesh: Mesh, q, x_scan, row_scale, norms_sq, mask,
-                      x_f32, k: int, metric, rerank: Optional[int] = None):
-    """Distributed quantized flat search (the multi-chip `ops/scan.py`).
-
-    q ``[Q, D]`` replicated; ``x_scan``/``row_scale``/``norms_sq``/``mask``/
-    ``x_f32`` row-sharded on N.  Each device scans its int8/bf16 shard,
-    reranks its local shortlist against its local f32 rows (all gathers stay
-    shard-local), then the k winners per shard are all_gathered and merged —
-    cross-device traffic is O(P*Q*k).  Returns replicated
-    ``(exact_dists[Q, k], global_idx[Q, k])``.
-    """
+@lru_cache(maxsize=128)
+def _scan_topk_prog(mesh: Mesh, k: int, metric_val: int, rerank: int):
     from ..ops.scan import _approx_scores, _exact_rerank
     from ..ops.topk import topk as _topk
 
-    if rerank is None:
-        rerank = max(4 * k, 32)
-
     from ..enums import Metric
     from ..ops.fused_scan import fused_scan_candidates, supports_fused_scan
+
+    metric = Metric(metric_val)
 
     def local(q, xs, rs, ns, mk, xf):
         r = min(rerank, xs.shape[0])
@@ -153,15 +150,31 @@ def sharded_scan_topk(mesh: Mesh, q, x_scan, row_scale, norms_sq, mask,
         neg, pos = jax.lax.top_k(-d_all, kk)
         return -neg, jnp.take_along_axis(i_all, pos, axis=1)
 
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS),
                   P(SHARD_AXIS), P(SHARD_AXIS, None)),
         out_specs=(P(), P()),
         check_vma=False,
-    )
-    return jax.jit(fn)(q, x_scan, row_scale, norms_sq, mask, x_f32)
+    ))
+
+
+def sharded_scan_topk(mesh: Mesh, q, x_scan, row_scale, norms_sq, mask,
+                      x_f32, k: int, metric, rerank: Optional[int] = None):
+    """Distributed quantized flat search (the multi-chip `ops/scan.py`).
+
+    q ``[Q, D]`` replicated; ``x_scan``/``row_scale``/``norms_sq``/``mask``/
+    ``x_f32`` row-sharded on N.  Each device scans its int8/bf16 shard,
+    reranks its local shortlist against its local f32 rows (all gathers stay
+    shard-local), then the k winners per shard are all_gathered and merged —
+    cross-device traffic is O(P*Q*k).  Returns replicated
+    ``(exact_dists[Q, k], global_idx[Q, k])``.
+    """
+    if rerank is None:
+        rerank = max(4 * k, 32)
+    prog = _scan_topk_prog(mesh, k, int(metric), rerank)
+    return prog(q, x_scan, row_scale, norms_sq, mask, x_f32)
 
 
 def _merge_topk(d, gidx, k: int):
@@ -173,34 +186,10 @@ def _merge_topk(d, gidx, k: int):
     return -neg, jnp.take_along_axis(i_all, pos, axis=1)
 
 
-def sharded_ivf_topk(
-    mesh: Mesh,
-    sel_local,      # [P, S] int32: per-shard LOCAL block ids (pad -1)
-    dtable,         # [Q, M, K] replicated
-    codes_blocks,   # [n_blocks_pad, M, BS] uint8, block-sharded
-    mask_blocks,    # [n_blocks_pad, BS] int8, block-sharded
-    row_map,        # [n_blocks_pad, BS] int32 GLOBAL rows, block-sharded
-    k: int,
-    *,
-    queries=None,      # [Q, D] replicated f32 (required when rerank > 0)
-    vec_blocks=None,   # [n_blocks_pad, BS, D] slot-major rerank vectors
-    rerank: int = 0,
-    metric=None,
-    exact: bool = False,
-):
-    """Distributed probed-block IVF-PQ search (the multi-chip `ops/ivf.py`).
-
-    The block axis is sharded over the mesh; each device scans only ITS
-    probed blocks (scalar-prefetch Pallas scan on TPU), optionally reranks
-    its local shortlist against slot-major f32/bf16 vectors (gathers stay
-    shard-local), and the k winners per shard are merged with `_merge_topk`.
-    Replaces the reference's per-process cell shards
-    (`annlite/executor.py:93-96`) with ICI collectives."""
-    from ..enums import Metric
+@lru_cache(maxsize=128)
+def _ivf_topk_prog(mesh: Mesh, k: int, rerank: int, exact: bool,
+                   euclidean: bool, do_rerank: bool):
     from ..ops.ivf import ivf_scan_topk
-
-    do_rerank = rerank > 0 and vec_blocks is not None and queries is not None
-    euclidean = metric is not None and int(metric) == int(Metric.EUCLIDEAN)
 
     def local(sel, dt, cb, mb, rm, *extra):
         sel = sel.reshape(-1)
@@ -231,45 +220,54 @@ def sharded_ivf_topk(
         P(SHARD_AXIS, None), P(), P(SHARD_AXIS, None, None),
         P(SHARD_AXIS, None), P(SHARD_AXIS, None),
     ]
-    args = [sel_local, dtable, codes_blocks, mask_blocks, row_map]
     if do_rerank:
         in_specs += [P(), P(SHARD_AXIS, None, None)]
-        args += [queries, vec_blocks]
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=tuple(in_specs), out_specs=(P(), P()),
         check_vma=False,
-    )
-    return jax.jit(fn)(*args)
+    ))
 
 
-def sharded_beam_topk(
+def sharded_ivf_topk(
     mesh: Mesh,
-    adjacency,      # [P·cap, W] int32, row-sharded (per-shard sub-graphs,
-                    # LOCAL node ids; pad -1)
-    vectors,        # [P·cap, D] row-sharded traversal/rerank vectors
-    medoids,        # [P] int32, sharded: per-shard entry point
-    queries,        # [Q, D] replicated f32
-    metric_euclidean: bool,
+    sel_local,      # [P, S] int32: per-shard LOCAL block ids (pad -1)
+    dtable,         # [Q, M, K] replicated
+    codes_blocks,   # [n_blocks_pad, M, BS] uint8, block-sharded
+    mask_blocks,    # [n_blocks_pad, BS] int8, block-sharded
+    row_map,        # [n_blocks_pad, BS] int32 GLOBAL rows, block-sharded
     k: int,
     *,
-    L: int = 64,
-    B: int = 16,
+    queries=None,      # [Q, D] replicated f32 (required when rerank > 0)
+    vec_blocks=None,   # [n_blocks_pad, BS, D] slot-major rerank vectors
     rerank: int = 0,
-    codes=None,     # [P·cap, M] uint8 row-sharded (PQ traversal)
-    dtable=None,    # [Q, M, K] replicated (PQ traversal)
-    alive=None,     # [P·cap] int8 row-sharded: 0 = soft-deleted node
+    metric=None,
+    exact: bool = False,
 ):
-    """Distributed graph serving: each device beams over its own sub-graph
-    (local adjacency + local vectors/codes), reranks locally, and the
-    per-shard shortlists are merged with `_merge_topk` — the TPU-mesh
-    re-expression of the reference's per-process HNSW shards
-    (`annlite/executor.py:93-96`, one index per Jina shard).
+    """Distributed probed-block IVF-PQ search (the multi-chip `ops/ivf.py`).
 
-    Global ids are round-robin: global = local·P + shard."""
-    from ..ops.beam import NO_ID, beam_search_pq, beam_search_vectors
+    The block axis is sharded over the mesh; each device scans only ITS
+    probed blocks (scalar-prefetch Pallas scan on TPU), optionally reranks
+    its local shortlist against slot-major f32/bf16 vectors (gathers stay
+    shard-local), and the k winners per shard are merged with `_merge_topk`.
+    Replaces the reference's per-process cell shards
+    (`annlite/executor.py:93-96`) with ICI collectives."""
+    from ..enums import Metric
+
+    do_rerank = rerank > 0 and vec_blocks is not None and queries is not None
+    euclidean = metric is not None and int(metric) == int(Metric.EUCLIDEAN)
+    prog = _ivf_topk_prog(mesh, k, rerank, exact, euclidean, do_rerank)
+    args = [sel_local, dtable, codes_blocks, mask_blocks, row_map]
+    if do_rerank:
+        args += [queries, vec_blocks]
+    return prog(*args)
+
+
+@lru_cache(maxsize=128)
+def _beam_topk_prog(mesh: Mesh, metric_euclidean: bool, k: int, L: int,
+                    B: int, rerank: int, use_pq: bool, has_alive: bool):
+    from ..ops.beam import beam_search_pq, beam_search_vectors
 
     n_dev = mesh.devices.size
-    use_pq = codes is not None and dtable is not None
     do_rerank = rerank > 0
 
     def local(adj, vecs, med, q, *extra):
@@ -278,7 +276,7 @@ def sharded_beam_topk(
         if use_pq:
             cd, dt = extra[0], extra[1]
             i = 2
-        if alive is not None:
+        if has_alive:
             al = extra[i]
         cap = adj.shape[0]
         entry = jnp.broadcast_to(med.reshape(1, 1), (q.shape[0], 1)).astype(jnp.int32)
@@ -317,18 +315,51 @@ def sharded_beam_topk(
         return _merge_topk(d, gids, k)
 
     in_specs = [P(SHARD_AXIS, None), P(SHARD_AXIS, None), P(SHARD_AXIS), P()]
-    args = [adjacency, vectors, medoids, queries]
     if use_pq:
         in_specs += [P(SHARD_AXIS, None), P()]
-        args += [codes, dtable]
-    if alive is not None:
+    if has_alive:
         in_specs += [P(SHARD_AXIS)]
-        args += [alive]
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=tuple(in_specs), out_specs=(P(), P()),
         check_vma=False,
+    ))
+
+
+def sharded_beam_topk(
+    mesh: Mesh,
+    adjacency,      # [P·cap, W] int32, row-sharded (per-shard sub-graphs,
+                    # LOCAL node ids; pad -1)
+    vectors,        # [P·cap, D] row-sharded traversal/rerank vectors
+    medoids,        # [P] int32, sharded: per-shard entry point
+    queries,        # [Q, D] replicated f32
+    metric_euclidean: bool,
+    k: int,
+    *,
+    L: int = 64,
+    B: int = 16,
+    rerank: int = 0,
+    codes=None,     # [P·cap, M] uint8 row-sharded (PQ traversal)
+    dtable=None,    # [Q, M, K] replicated (PQ traversal)
+    alive=None,     # [P·cap] int8 row-sharded: 0 = soft-deleted node
+):
+    """Distributed graph serving: each device beams over its own sub-graph
+    (local adjacency + local vectors/codes), reranks locally, and the
+    per-shard shortlists are merged with `_merge_topk` — the TPU-mesh
+    re-expression of the reference's per-process HNSW shards
+    (`annlite/executor.py:93-96`, one index per Jina shard).
+
+    Global ids are round-robin: global = local·P + shard."""
+    use_pq = codes is not None and dtable is not None
+    prog = _beam_topk_prog(
+        mesh, bool(metric_euclidean), k, L, B, rerank, use_pq,
+        alive is not None,
     )
-    return jax.jit(fn)(*args)
+    args = [adjacency, vectors, medoids, queries]
+    if use_pq:
+        args += [codes, dtable]
+    if alive is not None:
+        args += [alive]
+    return prog(*args)
 
 
 def sharded_lloyd_step(mesh: Mesh, x_sharded, centroids):
