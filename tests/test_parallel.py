@@ -245,6 +245,40 @@ def test_sharded_graph_recall(rng):
 
 
 @require_devices(2)
+def test_sharded_graph_pq_traversal(rng):
+    """rerank=0 + pq_codec: each shard beams with the PQ LUT over its own
+    codes (true low-memory mode), merged across shards."""
+    from annlite_tpu.parallel import ShardedGraphIndex
+    from annlite_tpu.enums import Metric
+
+    n, d = 1200, 16
+    centers = rng.standard_normal((8, d)).astype(np.float32) * 4
+    x = (centers[rng.integers(0, 8, n)]
+         + 0.3 * rng.standard_normal((n, d)).astype(np.float32))
+    pq = _trained_pq(rng, x, m=4)
+    g = ShardedGraphIndex(d, metric=Metric.EUCLIDEAN, pq_codec=pq, rerank=0,
+                          ef_search=64)
+    g.add_with_ids(x, np.arange(n))
+    assert g._sync_placed()['use_pq']
+    _, ids = g.search(x[:10], limit=5)
+    # PQ traversal is approximate: self-cluster hits, not exact self-match
+    d2 = ((x[:10][:, None, :] - x[None]) ** 2).sum(-1)
+    gt = np.argsort(d2, 1)[:, :5]
+    rec = np.mean([len(set(ids[i].tolist()) & set(gt[i].tolist())) / 5
+                   for i in range(10)])
+    assert rec >= 0.5, f'sharded PQ traversal recall {rec}'
+
+    # rerank>0 switches to vector traversal + shard-local exact rerank
+    g2 = ShardedGraphIndex(d, metric=Metric.EUCLIDEAN, pq_codec=pq,
+                           rerank=32, ef_search=64)
+    g2.add_with_ids(x, np.arange(n))
+    assert not g2._sync_placed()['use_pq']
+    _, ids2 = g2.search(x[:10], limit=5)
+    hits = sum(ids2[i][0] == i for i in range(10))
+    assert hits >= 9, f'{hits}/10 self-matches with rerank'
+
+
+@require_devices(2)
 def test_sharded_graph_snapshot(rng):
     from annlite_tpu.parallel import ShardedGraphIndex
     from annlite_tpu.enums import Metric
