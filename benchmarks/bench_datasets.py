@@ -138,9 +138,12 @@ def main():
         r_raw = recall_at(gt, ids_raw, TOPK)
         r_rr = recall_at(gt, ids_rr, TOPK)
         dts = [jnp.asarray(codec.get_dist_mat(xq[i:i + Q])) for i in range(10)]
-        t_raw = chain_time(adc_raw, lambda i: (dts[i], ct), carry0)
+        nd = len(dts)
+        t_raw = chain_time(adc_raw, lambda i: (dts[i % nd], ct), carry0)
         t_rr = chain_time(
-            adc_rerank, lambda i: (dts[i], xq_j[i:i + Q], ct, vecs_dev), carry0
+            adc_rerank,
+            lambda i: (dts[i % nd], xq_j[i % nd:i % nd + Q], ct, vecs_dev),
+            carry0,
         )
         results[f'{label}_raw_recall_at_10'] = round(r_raw, 4)
         results[f'{label}_raw_qps'] = round(Q / t_raw, 1)
