@@ -47,6 +47,9 @@ class GraphIndex(BaseIndex):
         build_mode: str = 'host',
         build_batch_size: int = 4096,
         traverse: str = 'auto',
+        entry_mode: str = 'sample',
+        n_entry_samples: int = 1024,
+        entry_width: int = 8,
         **kwargs,
     ):
         super().__init__(dim=dim, metric=metric, **kwargs)
@@ -65,6 +68,19 @@ class GraphIndex(BaseIndex):
         # amplification; costs R x corpus bytes at int8 and always reranks
         # exactly (int8 traversal scores are approximate).
         self.traverse = traverse
+        # entry_mode='sample': seed the beam with each query's nearest
+        # `entry_width` nodes out of `n_entry_samples` uniformly sampled
+        # rows (one tiny [Q, S] MXU matmul) instead of the single global
+        # medoid — on clustered data the medoid sits iterations away from
+        # the query's cluster, and every saved iteration is a full
+        # gather+score+merge round.  'medoid' restores the single entry.
+        if entry_mode not in ('medoid', 'sample'):
+            raise ValueError(f'unknown entry_mode {entry_mode!r}')
+        self.entry_mode = entry_mode
+        self.n_entry_samples = n_entry_samples
+        self.entry_width = entry_width
+        self._entry_ids = None   # [S] int32 sampled node ids
+        self._entry_vecs = None  # [S, D] their vectors (traversal dtype)
         self.max_degree = max_degree
         self.alpha = alpha
         self.l_build = l_build
@@ -197,6 +213,18 @@ class GraphIndex(BaseIndex):
                 adj_np, self._dev_vectors,
                 need_norms=self.metric == Metric.EUCLIDEAN,
             )
+        if self.entry_mode == 'sample' and self.size:
+            s = min(self.n_entry_samples, self.size)
+            # deterministic stride sample (cheap, spread over insert order)
+            ids = (np.arange(s, dtype=np.int64) * self.size // s).astype(
+                np.int32
+            )
+            self._entry_ids = jnp.asarray(ids)
+            self._entry_vecs = (
+                self._dev_vectors[self._entry_ids]
+                if self._dev_vectors is not None
+                else jnp.asarray(self._vectors[ids])
+            )
         self._dirty = False
 
     def search(self, query: np.ndarray, limit: int = 10, mask: Optional[np.ndarray] = None):
@@ -233,8 +261,14 @@ class GraphIndex(BaseIndex):
             return np.asarray(d), np.asarray(ids)
         q = query.shape[0]
         ef = max(self.ef_search, 4 * limit)
-        entry = jnp.full((q, 1), self._graph.medoid, dtype=jnp.int32)
         metric_euclidean = self.metric == Metric.EUCLIDEAN
+        if self._entry_vecs is not None:
+            entry = _sample_entries(
+                self._entry_vecs, self._entry_ids, jnp.asarray(query),
+                metric_euclidean, min(self.entry_width, ef),
+            )
+        else:
+            entry = jnp.full((q, 1), self._graph.medoid, dtype=jnp.int32)
         if self._packed is not None:
             from ..ops.beam import beam_search_packed
 
@@ -316,6 +350,11 @@ class GraphIndex(BaseIndex):
             jnp.asarray(self._alive) if has_deletes else None
         )
         packed = self._packed if self.traverse == 'packed' else None
+        entries = (
+            (self._entry_vecs, self._entry_ids)
+            if self._entry_vecs is not None
+            else None
+        )
         run = jax.jit(partial(
             GraphIndex._searcher_impl, use_pq=self._pq_traverse(),
             use_packed=packed is not None,
@@ -323,21 +362,27 @@ class GraphIndex(BaseIndex):
             has_deletes=has_deletes,
             metric_euclidean=metric_euclidean, cosine=cosine, medoid=medoid,
             ef=ef, B=B, rerank=self._effective_rerank(limit), limit=limit,
+            entry_width=min(self.entry_width, ef),
         ))
         return lambda query: run(adj, vecs, codes, cb, rot, alive, packed,
-                                 query)
+                                 entries, query)
 
     @staticmethod
-    def _searcher_impl(adj, vecs, codes, cb, rot, alive, packed, query, *,
-                       use_pq, use_packed, do_rerank, has_deletes,
+    def _searcher_impl(adj, vecs, codes, cb, rot, alive, packed, entries,
+                       query, *, use_pq, use_packed, do_rerank, has_deletes,
                        metric_euclidean, cosine, medoid, ef, B, rerank,
-                       limit):
+                       limit, entry_width):
         from ..codecs.pq import _dist_mat_ip, _dist_mat_l2
 
         q = jnp.asarray(query, dtype=jnp.float32)
         if cosine:
             q = l2_normalize(q)
-        entry = jnp.full((q.shape[0], 1), medoid, dtype=jnp.int32)
+        if entries is not None:
+            entry = _sample_entries(
+                entries[0], entries[1], q, metric_euclidean, entry_width
+            )
+        else:
+            entry = jnp.full((q.shape[0], 1), medoid, dtype=jnp.int32)
         if use_packed:
             from ..ops.beam import beam_search_packed
 
@@ -417,6 +462,7 @@ class GraphIndex(BaseIndex):
         self._alive = np.zeros(0, dtype=bool)
         self._dev_adj = self._dev_vectors = self._dev_codes = None
         self._packed = None
+        self._entry_ids = self._entry_vecs = None
         self._dirty = True
 
     # ----- snapshot state -----
@@ -459,6 +505,26 @@ class GraphIndex(BaseIndex):
 
 
 from functools import partial
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _sample_entries(sample_vecs, sample_ids, q, metric_euclidean: bool,
+                    e: int):
+    """Per-query beam seeds: nearest ``e`` of the sampled nodes — one tiny
+    [Q, S] MXU matmul replaces the iterations the beam would spend routing
+    from the global medoid to the query's neighborhood."""
+    v = sample_vecs.astype(jnp.float32)
+    dots = jnp.dot(q, v.T, preferred_element_type=jnp.float32)
+    if metric_euclidean:
+        d = (
+            jnp.sum(q * q, axis=1)[:, None]
+            + jnp.sum(v * v, axis=1)[None, :]
+            - 2.0 * dots
+        )
+    else:
+        d = 1.0 - dots
+    _, pos = jax.lax.top_k(-d, e)
+    return sample_ids[pos].astype(jnp.int32)
 
 
 @jax.jit

@@ -59,6 +59,9 @@ def main():
     ap.add_argument('--nq', type=int, default=512)
     ap.add_argument('--quick', action='store_true', help='200k rows')
     ap.add_argument('--skip-graph', action='store_true')
+    ap.add_argument('--m', type=int, default=0,
+                    help='PQ subvectors override (200-d: m=100/ds=2 beats '
+                         'm=50/ds=4 by a wide margin — see CLAUDE.md)')
     ap.add_argument('--out', default='benchmarks/results_datasets.json')
     args = ap.parse_args()
     if args.quick:
@@ -85,8 +88,13 @@ def main():
         xq = xq / (np.linalg.norm(xq, axis=1, keepdims=True) + 1e-30)
     results = {'dataset': args.dataset, 'n': n, 'dim': d, 'metric': metric,
                'provenance': prov, 'n_queries': len(xq)}
+    # m recorded below once resolved; the results key carries it so m-sweeps
+    # don't overwrite each other
     carry0 = jnp.float32(0.0)
-    m_sub = 64 if d % 64 == 0 else (50 if d % 50 == 0 else d // 2)
+    if args.m:
+        m_sub = args.m
+    else:
+        m_sub = 64 if d % 64 == 0 else (100 if d % 100 == 0 else d // 2)
 
     # ---------------- PQ64 ----------------
     log(f'training PQ m={m_sub}')
@@ -284,10 +292,13 @@ def main():
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
+    results['m'] = m_sub
     existing = {}
     if out.exists():
         existing = json.loads(out.read_text())
-    existing[f'{args.dataset}_{n}'] = results
+    existing[f'{args.dataset}_{n}_m{m_sub}'] = results
+    # migrate the pre-m-key entry for the same config
+    existing.pop(f'{args.dataset}_{n}', None)
     out.write_text(json.dumps(existing, indent=1))
     print(json.dumps(results))
 
