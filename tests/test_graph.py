@@ -330,3 +330,25 @@ def test_facade_device_searcher(tmp_index_path, data):
     _, ids_eager = ann.search_numpy(data[:8], limit=5)
     assert all(ids_eager[i][0] == f'd{rows[i, 0]}' for i in range(8))
     ann.close()
+
+
+def test_graph_update_moves_doc(tmp_index_path, data):
+    """Facade update on a graph index = soft-delete old row + append new:
+    the old embedding must stop matching, the new one must match."""
+    from annlite_tpu import AnnLite
+    from annlite_tpu.doc import Doc
+
+    n = 400
+    ann = AnnLite(n_dim=D, metric='euclidean', index_type='graph',
+                  data_path=tmp_index_path + '/upd')
+    ann.index([Doc(id=f'd{i}', embedding=data[i]) for i in range(n)])
+    # move d7 to a far-away location (another row's exact vector + offset)
+    new_emb = data[n + 50]
+    ann.update([Doc(id='d7', embedding=new_emb)])
+    idx = ann._container.index
+    assert idx.n_deleted == 1  # old row soft-deleted, not resurrected
+    _, ids_new = ann.search_numpy(new_emb[None], limit=3)
+    assert ids_new[0][0] == 'd7'
+    _, ids_old = ann.search_numpy(data[7][None], limit=3)
+    assert ids_old[0][0] != 'd7' or np.allclose(data[7], new_emb)
+    ann.close()
