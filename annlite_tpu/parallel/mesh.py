@@ -264,7 +264,8 @@ def sharded_ivf_topk(
 
 @lru_cache(maxsize=128)
 def _beam_topk_prog(mesh: Mesh, metric_euclidean: bool, k: int, L: int,
-                    B: int, rerank: int, use_pq: bool, has_alive: bool):
+                    B: int, rerank: int, use_pq: bool, has_alive: bool,
+                    has_sample: bool = False, entry_width: int = 8):
     from ..ops.beam import beam_search_pq, beam_search_vectors
 
     n_dev = mesh.devices.size
@@ -272,14 +273,34 @@ def _beam_topk_prog(mesh: Mesh, metric_euclidean: bool, k: int, L: int,
 
     def local(adj, vecs, med, q, *extra):
         i = 0
-        cd = dt = al = None
+        cd = dt = al = sv = si = None
         if use_pq:
             cd, dt = extra[0], extra[1]
             i = 2
         if has_alive:
             al = extra[i]
+            i += 1
+        if has_sample:
+            sv, si = extra[i], extra[i + 1]
         cap = adj.shape[0]
-        entry = jnp.broadcast_to(med.reshape(1, 1), (q.shape[0], 1)).astype(jnp.int32)
+        if has_sample:
+            # per-shard multi-entry seeding (see index/graph._sample_entries)
+            v = sv.astype(jnp.float32)
+            dots = jnp.dot(q, v.T, preferred_element_type=jnp.float32)
+            if metric_euclidean:
+                ed = (
+                    jnp.sum(q * q, axis=1)[:, None]
+                    + jnp.sum(v * v, axis=1)[None, :]
+                    - 2.0 * dots
+                )
+            else:
+                ed = 1.0 - dots
+            _, pos = jax.lax.top_k(-ed, entry_width)
+            entry = si[pos].astype(jnp.int32)
+        else:
+            entry = jnp.broadcast_to(
+                med.reshape(1, 1), (q.shape[0], 1)
+            ).astype(jnp.int32)
         ef = max(L, 4 * k)
         if use_pq:
             d, ids = beam_search_pq(adj, entry, cd, dt, k=ef, L=ef, B=B)
@@ -319,6 +340,8 @@ def _beam_topk_prog(mesh: Mesh, metric_euclidean: bool, k: int, L: int,
         in_specs += [P(SHARD_AXIS, None), P()]
     if has_alive:
         in_specs += [P(SHARD_AXIS)]
+    if has_sample:
+        in_specs += [P(SHARD_AXIS, None), P(SHARD_AXIS)]
     return jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=tuple(in_specs), out_specs=(P(), P()),
         check_vma=False,
@@ -341,6 +364,9 @@ def sharded_beam_topk(
     codes=None,     # [P·cap, M] uint8 row-sharded (PQ traversal)
     dtable=None,    # [Q, M, K] replicated (PQ traversal)
     alive=None,     # [P·cap] int8 row-sharded: 0 = soft-deleted node
+    sample_vecs=None,  # [P·S, D] row-sharded entry-sample vectors
+    sample_ids=None,   # [P·S] int32 row-sharded LOCAL node ids
+    entry_width: int = 8,
 ):
     """Distributed graph serving: each device beams over its own sub-graph
     (local adjacency + local vectors/codes), reranks locally, and the
@@ -350,15 +376,18 @@ def sharded_beam_topk(
 
     Global ids are round-robin: global = local·P + shard."""
     use_pq = codes is not None and dtable is not None
+    has_sample = sample_vecs is not None and sample_ids is not None
     prog = _beam_topk_prog(
         mesh, bool(metric_euclidean), k, L, B, rerank, use_pq,
-        alive is not None,
+        alive is not None, has_sample, entry_width,
     )
     args = [adjacency, vectors, medoids, queries]
     if use_pq:
         args += [codes, dtable]
     if alive is not None:
         args += [alive]
+    if has_sample:
+        args += [sample_vecs, sample_ids]
     return prog(*args)
 
 

@@ -437,10 +437,17 @@ class ShardedGraphIndex(BaseIndex):
         pq_codec: Optional[PQCodec] = None,
         rerank: int = 0,
         build_mode: str = 'host',
+        entry_mode: str = 'sample',
+        n_entry_samples: int = 256,
+        entry_width: int = 8,
         **kwargs,
     ):
         super().__init__(dim=dim, metric=metric, **kwargs)
         self.mesh = mesh if mesh is not None else make_mesh(n_devices)
+        # per-shard multi-entry seeding (see index/graph.py entry_mode)
+        self.entry_mode = entry_mode
+        self.n_entry_samples = n_entry_samples
+        self.entry_width = entry_width
         self.max_degree = max_degree
         self.alpha = alpha
         self.l_build = l_build
@@ -576,6 +583,23 @@ class ShardedGraphIndex(BaseIndex):
                     )
             codes_d = shard_rows(self.mesh, codes)
         vdt = jnp.bfloat16 if self.pq_codec is not None else jnp.float32
+        sample_vecs = sample_ids = None
+        # seed sampling only for vector-scored traversal: under coarse PQ-LUT
+        # scoring the medoid's longer walk visits more nodes and that extra
+        # exploration IS the recall (measured: tight seeds cost ~0.1 R@5)
+        if self.entry_mode == 'sample' and not use_pq:
+            s = max(min(self.n_entry_samples, min(x or 1 for x in sizes)), 1)
+            sv = np.zeros((p * s, self.dim), np.float32)
+            si = np.zeros(p * s, np.int32)
+            for sh in range(p):
+                n_s = max(sizes[sh], 1)
+                loc = (np.arange(s, dtype=np.int64) * n_s // s).astype(np.int32)
+                loc = np.minimum(loc, max(sizes[sh] - 1, 0))
+                si[sh * s : (sh + 1) * s] = loc
+                if sizes[sh]:
+                    sv[sh * s : (sh + 1) * s] = vecs[sh][loc]
+            sample_vecs = shard_rows(self.mesh, sv).astype(vdt)
+            sample_ids = shard_rows(self.mesh, si)
         self._placed = dict(
             adj=shard_rows(self.mesh, adj, pad_value=-1),
             vecs=shard_rows(self.mesh, vx).astype(vdt),
@@ -584,6 +608,8 @@ class ShardedGraphIndex(BaseIndex):
             codes=codes_d,
             use_pq=use_pq,
             cap=cap,
+            sample_vecs=sample_vecs,
+            sample_ids=sample_ids,
         )
         self._dirty = False
         return self._placed
@@ -609,6 +635,9 @@ class ShardedGraphIndex(BaseIndex):
             self.metric == Metric.EUCLIDEAN, k,
             L=max(self.ef_search, 4 * limit), B=self.beam_width,
             rerank=self.rerank, alive=pl['alive'],
+            sample_vecs=pl['sample_vecs'], sample_ids=pl['sample_ids'],
+            entry_width=self.entry_width,
+            **kwargs,
         )
         d, ids = np.asarray(d), np.asarray(ids)
         if mask is not None:

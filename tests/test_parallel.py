@@ -255,7 +255,7 @@ def test_sharded_graph_pq_traversal(rng):
     centers = rng.standard_normal((8, d)).astype(np.float32) * 4
     x = (centers[rng.integers(0, 8, n)]
          + 0.3 * rng.standard_normal((n, d)).astype(np.float32))
-    pq = _trained_pq(rng, x, m=4)
+    pq = _trained_pq(rng, x, m=8)  # d_sub=2: fine enough for LUT ranking
     g = ShardedGraphIndex(d, metric=Metric.EUCLIDEAN, pq_codec=pq, rerank=0,
                           ef_search=64)
     g.add_with_ids(x, np.arange(n))
