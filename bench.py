@@ -435,11 +435,22 @@ def main():
     gxd = jnp.asarray(gx)
     gt_g = np.asarray(exact_l2(jnp.asarray(qv2), gxd))
     entry_g = jnp.full((Q, 1), gb.medoid, dtype=jnp.int32)
+    # multi-entry seeding (GraphIndex default entry_mode='sample'):
+    # +55%/+30%/+20% QPS at ef=32/64/128, identical recall (262k x 128-d)
+    from annlite_tpu.index.graph import _sample_entries
+
+    SENT = 1024
+    sids_g = jnp.asarray(
+        (np.arange(SENT, dtype=np.int64) * GN // SENT).astype(np.int32)
+    )
+    svecs_g = gxd[sids_g]
 
     @jax.jit
     def graph_chain(adj, vecs, qv, carry):
+        qv = qv + carry * 1e-12
+        entry = _sample_entries(svecs_g, sids_g, qv, True, 8)
         d, ids = beam_search_vectors(
-            adj, entry_g, vecs, qv + carry * 1e-12, True, k=128, L=128, B=16
+            adj, entry, vecs, qv, True, k=128, L=128, B=16
         )
         return d, ids, d[0, 0]
 
@@ -465,8 +476,9 @@ def main():
     @jax.jit
     def graph_packed_chain(adj, pk, sc, nm, vecs, qv, carry):
         qv = qv + carry * 1e-12
+        entry = _sample_entries(svecs_g, sids_g, qv, True, 8)
         d, ids = beam_search_packed(
-            adj, entry_g, pk, sc, nm, vecs, qv, True, k=128, L=128, B=16
+            adj, entry, pk, sc, nm, vecs, qv, True, k=128, L=128, B=16
         )
         cvec = vecs[jnp.clip(ids, 0, vecs.shape[0] - 1)].astype(jnp.float32)
         rd = jnp.sum((qv[:, None, :] - cvec) ** 2, axis=-1)
