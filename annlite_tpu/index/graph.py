@@ -526,7 +526,9 @@ def _sample_entries(sample_vecs, sample_ids, q, metric_euclidean: bool,
         )
     else:
         d = 1.0 - dots
-    _, pos = jax.lax.top_k(-d, e)
+    # a tiny index can have fewer sampled nodes than the requested seed
+    # width (top_k requires k <= columns) — shapes are static at trace time
+    _, pos = jax.lax.top_k(-d, min(e, d.shape[1]))
     return sample_ids[pos].astype(jnp.int32)
 
 

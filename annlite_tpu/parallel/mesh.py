@@ -295,7 +295,9 @@ def _beam_topk_prog(mesh: Mesh, metric_euclidean: bool, k: int, L: int,
                 )
             else:
                 ed = 1.0 - dots
-            _, pos = jax.lax.top_k(-ed, entry_width)
+            # the smallest shard may hold fewer sampled nodes than the
+            # requested seed width — clamp (static shape at trace time)
+            _, pos = jax.lax.top_k(-ed, min(entry_width, ed.shape[1]))
             entry = si[pos].astype(jnp.int32)
         else:
             entry = jnp.broadcast_to(

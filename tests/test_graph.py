@@ -352,3 +352,18 @@ def test_graph_update_moves_doc(tmp_index_path, data):
     _, ids_old = ann.search_numpy(data[7][None], limit=3)
     assert ids_old[0][0] != 'd7' or np.allclose(data[7], new_emb)
     ann.close()
+
+
+def test_tiny_index_search(data):
+    """Regression (round-2 advisor high): default entry_mode='sample' must
+    not require >= entry_width rows — a freshly created index serving its
+    first few docs (here 5 < entry_width=8) crashed in lax.top_k."""
+    idx = GraphIndex(D, metric=Metric.EUCLIDEAN)
+    idx.add_with_ids(data[:5], np.arange(5))
+    d, ids = idx.search(data[:2], limit=3)
+    assert ids.shape == (2, 3)
+    assert ids[0][0] == 0 and ids[1][0] == 1
+    # grows past the clamp boundary and keeps working
+    idx.add_with_ids(data[5:64], np.arange(5, 64))
+    _, ids2 = idx.search(data[:2], limit=3)
+    assert ids2[0][0] == 0

@@ -354,3 +354,19 @@ def test_sharded_flat_facade(tmp_path, rng):
     _, ids = ann.search_numpy(x[:10], limit=3)
     assert all(ids[i][0] == f'd{i}' for i in range(10))
     ann.close()
+
+
+@require_devices(4)
+def test_sharded_graph_tiny_shards(rng):
+    """Regression (round-2 advisor high): 20 rows over 4+ shards leaves
+    <entry_width=8 sampled nodes per shard — seeding must clamp, not crash."""
+    from annlite_tpu.parallel import ShardedGraphIndex
+    from annlite_tpu.enums import Metric
+
+    n, d = 20, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    g = ShardedGraphIndex(d, metric=Metric.EUCLIDEAN)
+    g.add_with_ids(x, np.arange(n))
+    dists, ids = g.search(x[:4], limit=3)
+    assert ids.shape == (4, 3)
+    assert (ids[:, 0] == np.arange(4)).all()
