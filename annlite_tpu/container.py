@@ -249,13 +249,17 @@ class CellContainer:
             d, idx = self.index.search(q, limit=limit, mask=mask, cells=cells)
         else:
             d, idx = self.index.search(q, limit=limit, mask=mask)
-        all_dists, all_ids = [], []
+        # one batched row->doc-id lookup for ALL queries' candidates (a
+        # per-row SELECT loop here dominated facade serving latency)
+        valid = d < _SCORE_MISSING
+        flat_ids = self.cell_table.get_docids_by_rows(idx[valid].tolist())
+        all_dists, all_ids, at = [], [], 0
         for qi in range(d.shape[0]):
-            valid = d[qi] < _SCORE_MISSING
-            rows = idx[qi][valid]
-            ids = self.cell_table.get_docids_by_rows(rows.tolist())
+            n = int(valid[qi].sum())
+            ids = flat_ids[at : at + n]
+            at += n
             keep = [j for j, s in enumerate(ids) if s is not None]
-            all_dists.append(d[qi][valid][keep])
+            all_dists.append(d[qi][valid[qi]][keep])
             all_ids.append([ids[j] for j in keep])
         return all_dists, all_ids
 

@@ -449,6 +449,19 @@ class AnnLite:
             )
         return idx.device_searcher(limit=limit, **kwargs)
 
+    def rows_to_docids(self, rows):
+        """Map global rows (e.g. a ``device_searcher`` result, any shape)
+        to doc ids in ONE batched SQL lookup; invalid/deleted rows map to
+        None.  Returns a list shaped like ``rows``'s leading axes."""
+        rows = np.asarray(rows)
+        flat = self._container.cell_table.get_docids_by_rows(
+            [int(r) for r in rows.reshape(-1)]
+        )
+        if rows.ndim <= 1:
+            return flat
+        w = rows.shape[-1]
+        return [flat[i : i + w] for i in range(0, len(flat), w)]
+
     def filter(
         self,
         filter: Optional[Dict] = None,

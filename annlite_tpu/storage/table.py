@@ -261,13 +261,27 @@ class CellTable(Table):
         return r[0][0] if r else None
 
     def get_docids_by_rows(self, rows: List[int]) -> List[Optional[str]]:
-        out = []
+        """Row→doc-id for a batch in ONE ``SELECT ... WHERE _id IN (...)``
+        per ≤900-key chunk (SQLite bound-variable ceiling) — the serving hot
+        path maps every candidate of every query through here (reference
+        per-row loop: `annlite/container.py:213-260`)."""
+        out: List[Optional[str]] = [None] * len(rows)
+        if not rows:
+            return out
+        pos: dict = {}
+        for j, row in enumerate(rows):
+            pos.setdefault(int(row) + 1, []).append(j)
+        keys = list(pos)
         with self._lock:
-            for row in rows:
-                r = self._conn.execute(
-                    f'SELECT _doc_id FROM {self.name} WHERE _id = ?', (int(row) + 1,)
-                ).fetchone()
-                out.append(r[0] if r else None)
+            for lo in range(0, len(keys), 900):
+                chunk = keys[lo : lo + 900]
+                sql = (
+                    f'SELECT _id, _doc_id FROM {self.name} '
+                    f'WHERE _id IN ({", ".join("?" for _ in chunk)})'
+                )
+                for _id, doc_id in self._conn.execute(sql, chunk):
+                    for j in pos[_id]:
+                        out[j] = doc_id
         return out
 
     def get_row_by_docid(self, doc_id: str) -> Optional[int]:

@@ -103,3 +103,16 @@ def test_meta_table_addresses():
     assert list(m.iter_addresses()) == [('b', 1, 1)]
     latest = m.get_latest_commit()
     assert latest[0] == 'b'
+
+
+def test_get_docids_by_rows_batched():
+    """Batched IN-query lookup: order preserved, duplicates resolved,
+    missing rows -> None, >900 keys span multiple chunks."""
+    t = CellTable('m')
+    n = 1100
+    t.insert([f'd{i}' for i in range(n)], [0] * n, [{} for _ in range(n)])
+    rows = list(range(n)) + [5, 5, n + 50]  # dups + missing
+    ids = t.get_docids_by_rows(rows)
+    assert ids[:n] == [f'd{i}' for i in range(n)]
+    assert ids[n] == 'd5' and ids[n + 1] == 'd5'
+    assert ids[n + 2] is None
