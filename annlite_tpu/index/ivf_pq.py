@@ -42,7 +42,8 @@ class IVFPQIndex(BaseIndex):
         self.pq_codec = pq_codec
         self.rerank = rerank
         self.exact_topk = exact_topk
-        self._store = BlockedCodes(pq_codec.n_subvectors, block_size)
+        self._store = BlockedCodes(pq_codec.n_subvectors, block_size,
+                                   code_dtype=pq_codec.code_dtype)
         self._size = 0
         self._vectors = (
             DeviceBuffer((dim,), np.dtype(rerank_dtype), grow_axis=0)
@@ -126,7 +127,8 @@ class IVFPQIndex(BaseIndex):
         return -neg, jnp.take_along_axis(cand_rows, pos, axis=1)
 
     def reset(self):
-        self._store = BlockedCodes(self.pq_codec.n_subvectors, self._store.bs)
+        self._store = BlockedCodes(self.pq_codec.n_subvectors, self._store.bs,
+                                   code_dtype=self.pq_codec.code_dtype)
         self._size = 0
         if self._vectors is not None:
             self._vectors.reset()

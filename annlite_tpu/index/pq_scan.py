@@ -68,8 +68,12 @@ class PQScanIndex(BaseIndex):
         self.exact_topk = exact_topk
         self.recall_target = recall_target
         self.rerank = rerank
+        # u8/u16/u32 per the codec's n_clusters (reference PQ_Space<CODETYPE>,
+        # `include/hnswlib/space_pq.h:15-37`) — the ADC kernels widen codes
+        # to int32 in-kernel, so only the storage dtype varies
         self._codes_t = DeviceBuffer(
-            (self.n_subvectors,), np.uint8, grow_axis=1, chunk=chunk
+            (self.n_subvectors,), np.dtype(pq_codec.code_dtype),
+            grow_axis=1, chunk=chunk,
         )
         self._vectors = (
             DeviceBuffer((dim,), np.dtype(rerank_dtype), grow_axis=0, chunk=chunk)

@@ -33,6 +33,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _scale_blocks(k: int, block_q: int, block_n: int):
+    """Shrink the kernel blocks when K > 256 (u16 codes): the in-kernel
+    one-hot is [K, BN] and the dtable block is [BQ, M, K] — both scale
+    linearly with K and must stay within VMEM."""
+    if k <= 256:
+        return block_q, block_n
+    f = -(-k // 256)
+    return max(8, block_q // f), max(512, block_n // f)
+
+
 # --------------------------------------------------------------------------
 # Reference implementation (pure jnp) — used for tests and CPU fallback.
 # --------------------------------------------------------------------------
@@ -132,6 +142,7 @@ def adc_scores(
             scores = jnp.where(mask[None, :] > 0, scores, BIG)
         return scores
 
+    block_q, block_n = _scale_blocks(k, block_q, block_n)
     bq = min(block_q, _round_up(q, 8))
     qp = _round_up(q, bq)
     np_ = _round_up(n, block_n)
@@ -371,8 +382,9 @@ def adc_topk(
         use_pallas = jax.default_backend() == 'tpu'
     q, m, kk = dtable.shape
     n = codes_t.shape[1]
-    block_q = kw.get('block_q', 64)
-    block_n = kw.get('block_n', 4096)
+    block_q, block_n = _scale_blocks(
+        kk, kw.get('block_q', 64), kw.get('block_n', 4096)
+    )
     if (
         use_pallas
         and not exact

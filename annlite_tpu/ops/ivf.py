@@ -280,10 +280,15 @@ class BlockedCodes:
     (`annlite/container.py:48-59`) with device-friendly geometry.
     """
 
-    def __init__(self, n_subvectors: int, block_size: int = BLOCK_SIZE):
+    def __init__(self, n_subvectors: int, block_size: int = BLOCK_SIZE,
+                 code_dtype=np.uint8):
         self.m = n_subvectors
         self.bs = block_size
-        self.codes = np.zeros((0, self.m, self.bs), dtype=np.uint8)
+        # u8/u16/u32 per the codec's n_clusters (reference templates
+        # PQ_Space<CODETYPE>, `include/hnswlib/space_pq.h:15-37`) — a u8-only
+        # buffer would silently wrap codes mod 256 at n_clusters > 256
+        self.code_dtype = np.dtype(code_dtype)
+        self.codes = np.zeros((0, self.m, self.bs), dtype=self.code_dtype)
         self.mask = np.zeros((0, self.bs), dtype=np.int8)
         self.row_map = np.full((0, self.bs), -1, dtype=np.int32)
         self.block_cell = np.zeros(0, dtype=np.int32)
@@ -298,7 +303,7 @@ class BlockedCodes:
 
     def _grow(self, n_new: int):
         self.codes = np.concatenate(
-            [self.codes, np.zeros((n_new, self.m, self.bs), np.uint8)]
+            [self.codes, np.zeros((n_new, self.m, self.bs), self.code_dtype)]
         )
         self.mask = np.concatenate([self.mask, np.zeros((n_new, self.bs), np.int8)])
         self.row_map = np.concatenate(
@@ -315,7 +320,14 @@ class BlockedCodes:
         input order within a cell), each cell fills its tail block then any
         number of freshly allocated blocks; all block storage is grown in ONE
         reallocation."""
-        codes = np.asarray(codes, dtype=np.uint8)
+        codes = np.asarray(codes)
+        if codes.dtype.itemsize > self.code_dtype.itemsize:
+            raise ValueError(
+                f'codes dtype {codes.dtype} would be truncated by this '
+                f'{self.code_dtype} store — construct BlockedCodes with the '
+                f'codec\'s code_dtype'
+            )
+        codes = codes.astype(self.code_dtype)
         cells = np.asarray(cells).astype(np.int64).ravel()
         rows = np.asarray(rows).astype(np.int64).ravel()
         n = len(rows)

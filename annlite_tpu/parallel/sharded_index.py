@@ -48,7 +48,10 @@ class ShardedPQIndex(BaseIndex):
             raise RuntimeError('PQCodec must be trained before building ShardedPQIndex')
         self.pq_codec = pq_codec
         self.mesh = mesh if mesh is not None else make_mesh(n_devices)
-        self._codes = np.zeros((0, pq_codec.n_subvectors), dtype=np.uint8)
+        # u8/u16/u32 per the codec (n_clusters > 256 must not wrap mod 256)
+        self._codes = np.zeros(
+            (0, pq_codec.n_subvectors), dtype=pq_codec.code_dtype
+        )
         self._alive = np.zeros(0, dtype=bool)
         self._dev_codes = None
         self._dirty = True
@@ -80,7 +83,8 @@ class ShardedPQIndex(BaseIndex):
         if hi > self.size:
             grow = hi - self.size
             self._codes = np.concatenate(
-                [self._codes, np.zeros((grow, self._codes.shape[1]), np.uint8)]
+                [self._codes,
+                 np.zeros((grow, self._codes.shape[1]), self._codes.dtype)]
             )
             self._alive = np.concatenate([self._alive, np.zeros(grow, bool)])
         self._codes[ids] = codes
@@ -111,7 +115,9 @@ class ShardedPQIndex(BaseIndex):
         return np.asarray(d), np.asarray(idx)
 
     def reset(self):
-        self._codes = np.zeros((0, self.pq_codec.n_subvectors), dtype=np.uint8)
+        self._codes = np.zeros(
+            (0, self.pq_codec.n_subvectors), dtype=self.pq_codec.code_dtype
+        )
         self._alive = np.zeros(0, dtype=bool)
         self._dev_codes = None
         self._dirty = True
@@ -127,7 +133,7 @@ class ShardedPQIndex(BaseIndex):
 
     def load_state_arrays(self, state):
         self.reset()
-        self._codes = np.asarray(state['codes'], dtype=np.uint8)
+        self._codes = np.asarray(state['codes'], dtype=self.pq_codec.code_dtype)
         self._alive = np.asarray(state['alive'], dtype=bool)
         self._dirty = True
 
@@ -575,7 +581,10 @@ class ShardedGraphIndex(BaseIndex):
         use_pq = self.pq_codec is not None and self.rerank == 0
         codes_d = None
         if self.pq_codec is not None:
-            codes = np.zeros((p * cap, self.pq_codec.n_subvectors), np.uint8)
+            codes = np.zeros(
+                (p * cap, self.pq_codec.n_subvectors),
+                self.pq_codec.code_dtype,
+            )
             for s in range(p):
                 if sizes[s]:
                     codes[s * cap : s * cap + sizes[s]] = self.pq_codec.encode(
