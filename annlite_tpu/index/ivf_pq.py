@@ -16,7 +16,7 @@ from ..codecs import PQCodec
 from ..enums import Metric
 from ..math import l2_normalize
 from ..ops.adc import BIG
-from ..ops.ivf import BLOCK_SIZE, BlockedCodes, ivf_scan_topk
+from ..ops.ivf import BLOCK_SIZE, BlockedCodes, ivf_scan_topk, slot_mask_device
 from .base import BaseIndex
 from .buffer import DeviceBuffer
 
@@ -100,7 +100,11 @@ class IVFPQIndex(BaseIndex):
             return (np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int64))
         cb, mb, rm = self._store.device_arrays()
         if mask is not None:
-            mb = jnp.asarray(self._store.set_filter_mask(np.asarray(mask).astype(bool)))
+            # predicate combined on device via the resident row_map — only
+            # the [N] int8 predicate crosses host->device
+            mb = slot_mask_device(
+                mb, rm, jnp.asarray(np.asarray(mask).astype(np.int8))
+            )
         k = limit if self.rerank == 0 else max(self.rerank, limit)
         d, rows = ivf_scan_topk(
             jnp.asarray(sel), dtable, cb, mb, rm, k, exact=self.exact_topk

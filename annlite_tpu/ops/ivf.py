@@ -272,6 +272,19 @@ def ivf_scan_topk(
     return d, rows
 
 
+@jax.jit
+def slot_mask_device(mb, rm, row_pred):
+    """AND the device-resident slot mask ``mb [n_blocks, BS]`` with a
+    per-global-row predicate ``row_pred [N] int8``, gathered through the
+    device-resident ``row_map`` — filtered search uploads only the N-byte
+    predicate instead of recomputing + re-uploading the full slot mask on
+    the host per query batch (round-2 verdict: O(N) host work + ~1MB+
+    tunnel push per filtered call).  Empty slots (row_map < 0) already have
+    ``mb == 0``, so the garbage gather there is ANDed away."""
+    safe = jnp.clip(rm, 0, row_pred.shape[0] - 1)
+    return mb & row_pred[safe].astype(mb.dtype)
+
+
 class BlockedCodes:
     """Host-side blocked code store: rows grouped by cell into fixed blocks.
 
@@ -374,11 +387,24 @@ class BlockedCodes:
         self._dirty = True
 
     def delete_rows(self, rows):
+        changed = []
         for row in np.asarray(rows).tolist():
             addr = self._row_addr.pop(int(row), None)
             if addr is not None:
                 self.mask[addr] = 0
-        self._dirty = True
+                changed.append(addr)
+        if not changed:
+            return
+        if self._dev is not None and not self._dirty:
+            # incremental: scatter only the deleted slots into the cached
+            # device mask — codes/row_map are untouched by deletes, so a
+            # full re-upload (3 arrays, O(N) bytes) would be pure waste
+            cb, mb, rm = self._dev
+            b = jnp.asarray([a[0] for a in changed], dtype=jnp.int32)
+            s = jnp.asarray([a[1] for a in changed], dtype=jnp.int32)
+            self._dev = (cb, mb.at[b, s].set(0), rm)
+        else:
+            self._dirty = True
 
     def set_filter_mask(self, row_mask: np.ndarray) -> np.ndarray:
         """Combine alive-slots with a per-global-row predicate ->

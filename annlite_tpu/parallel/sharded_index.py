@@ -376,8 +376,15 @@ class ShardedIVFPQIndex(IVFPQIndex):
             return (np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int64))
         cb, mb, rm, vb = self._sync_placed()
         if mask is not None:
-            m = st.set_filter_mask(np.asarray(mask).astype(bool))
-            mb = shard_rows(self.mesh, m, cb.shape[0])
+            # device-side predicate AND: replicate the [N]-byte predicate and
+            # gather through each shard's resident row_map — no host slot-mask
+            # rebuild, no full-mask re-shard per filtered call
+            from ..ops.ivf import slot_mask_device
+
+            pred = replicate(
+                self.mesh, np.asarray(mask).astype(np.int8)
+            )
+            mb = slot_mask_device(mb, rm, pred)
         sel_local = shard_rows(self.mesh, self._sel_local(sel))
         kwargs = {}
         if self.rerank > 0 and vb is not None:

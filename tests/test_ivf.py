@@ -218,3 +218,36 @@ def test_facade_n_probe_clamps_down(tmp_index_path, rng):
     hits = sum(ids[i][0] == f'doc{i}' for i in range(10))
     assert hits >= 9, f'only {hits}/10 self-matches at n_probe=4'
     ann.close()
+
+
+def test_slot_mask_device_matches_host(store, rng):
+    """Device-side predicate AND (upload only the [N] predicate, gather via
+    resident row_map) must equal the host set_filter_mask rebuild."""
+    import jax.numpy as jnp
+
+    from annlite_tpu.ops.ivf import slot_mask_device
+
+    bc, codes, cells = store
+    n = codes.shape[0]
+    flt = rng.random(n) < 0.3
+    want = bc.set_filter_mask(flt)
+    cb, mb, rm = bc.device_arrays()
+    got = np.asarray(slot_mask_device(mb, rm, jnp.asarray(flt.astype(np.int8))))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_delete_updates_device_mask_incrementally(store):
+    """delete_rows after device placement scatters ONLY the mask — the
+    cached device codes/row_map objects must be reused (no O(N) re-upload)."""
+    bc, codes, cells = store
+    cb0, mb0, rm0 = bc.device_arrays()
+    victim_rows = [int(r) for r in bc.row_map[bc.mask > 0][:5]]
+    bc.delete_rows(victim_rows)
+    cb1, mb1, rm1 = bc.device_arrays()
+    assert cb1 is cb0 and rm1 is rm0, 'delete re-uploaded untouched arrays'
+    assert not bc._dirty
+    # deleted slots are masked out on device and host alike
+    np.testing.assert_array_equal(np.asarray(mb1), bc.mask)
+    # a later append still takes the full re-sync path
+    bc.append(codes[:3], cells[:3], np.arange(10_000, 10_003))
+    assert bc._dirty
