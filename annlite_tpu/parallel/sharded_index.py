@@ -453,6 +453,7 @@ class ShardedGraphIndex(BaseIndex):
         entry_mode: str = 'sample',
         n_entry_samples: int = 256,
         entry_width: int = 8,
+        filter_fallback_selectivity: float = 0.25,
         **kwargs,
     ):
         super().__init__(dim=dim, metric=metric, **kwargs)
@@ -478,6 +479,16 @@ class ShardedGraphIndex(BaseIndex):
         self._alive = np.zeros(0, dtype=bool)  # global rows
         self._placed = None
         self._dirty = True
+        # per-shard PQ-code cache: _sync_placed encodes ONLY appended rows
+        # (full re-encode per dirty epoch was O(N) per insert batch)
+        self._shard_codes = [
+            np.zeros((0, pq_codec.n_subvectors), pq_codec.code_dtype)
+            if pq_codec is not None else None
+            for _ in range(self.n_shards)
+        ]
+        # below this predicate selectivity, filtered search switches to an
+        # exact scan over passing rows (mirrors GraphIndex's fallback)
+        self.filter_fallback_selectivity = filter_fallback_selectivity
 
     def _new_graph(self):
         metric_ip = self.metric != Metric.EUCLIDEAN
@@ -594,11 +605,26 @@ class ShardedGraphIndex(BaseIndex):
             )
             for s in range(p):
                 if sizes[s]:
-                    codes[s * cap : s * cap + sizes[s]] = self.pq_codec.encode(
-                        vecs[s][: sizes[s]]
-                    )
+                    # encode ONLY rows appended since the last sync — the
+                    # per-shard cache makes insert-then-search epochs O(new)
+                    cached = self._shard_codes[s]
+                    if cached.shape[0] < sizes[s]:
+                        fresh = self.pq_codec.encode(
+                            vecs[s][cached.shape[0] : sizes[s]]
+                        )
+                        cached = (
+                            np.concatenate([cached, fresh])
+                            if cached.size else fresh
+                        )
+                        self._shard_codes[s] = cached
+                    codes[s * cap : s * cap + sizes[s]] = cached[: sizes[s]]
             codes_d = shard_rows(self.mesh, codes)
         vdt = jnp.bfloat16 if self.pq_codec is not None else jnp.float32
+        if use_pq:
+            # true low-memory mode: traversal scores with the PQ LUT and
+            # rerank=0 never touches vectors — place a 1-row-per-shard
+            # placeholder instead of the full bf16 copy
+            vx = np.zeros((p, self.dim), np.float32)
         sample_vecs = sample_ids = None
         # seed sampling only for vector-scored traversal: under coarse PQ-LUT
         # scoring the medoid's longer walk visits more nodes and that extra
@@ -637,6 +663,16 @@ class ShardedGraphIndex(BaseIndex):
             q = len(np.atleast_2d(query))
             return (np.zeros((q, 0), np.float32), np.zeros((q, 0), np.int64))
         query = self._prep(query)
+        if (
+            mask is not None
+            and float(np.mean(np.asarray(mask, dtype=bool)))
+            < self.filter_fallback_selectivity
+        ):
+            # selective predicate: beam traversal would mostly visit
+            # non-passing nodes and the post-merge 4*limit headroom pads
+            # with BIG rows — fall back to an exact scan over passing rows
+            # (mirrors GraphIndex._masked_exact_scan)
+            return self._masked_exact_scan(query, np.asarray(mask, bool), limit)
         pl = self._sync_placed()
         k = min(4 * limit if mask is not None else limit, self.size)
         kwargs = {}
@@ -668,6 +704,45 @@ class ShardedGraphIndex(BaseIndex):
             ids = np.take_along_axis(ids, order, axis=1)
         return d[:, :limit], ids[:, :limit]
 
+    def _gather_rows(self, rows: np.ndarray) -> np.ndarray:
+        """Vectors for arbitrary GLOBAL rows from the per-shard host copies
+        (global row g lives on shard g % P at local index g // P)."""
+        rows = np.asarray(rows)
+        out = np.zeros((len(rows), self.dim), np.float32)
+        p = self.n_shards
+        for s in range(p):
+            sel = (rows % p) == s
+            if sel.any():
+                out[sel] = self._shard_vectors(s)[rows[sel] // p]
+        return out
+
+    def _masked_exact_scan(self, query, mask, limit):
+        m = mask[: self.size] & self._alive[: min(len(mask), self.size)]
+        pass_rows = np.flatnonzero(m)
+        q = np.atleast_2d(query)
+        if pass_rows.size == 0:
+            return (
+                np.zeros((len(q), 0), np.float32),
+                np.zeros((len(q), 0), np.int64),
+            )
+        v = self._gather_rows(pass_rows)
+        dots = q @ v.T
+        if self.metric == Metric.EUCLIDEAN:
+            d = (
+                (q * q).sum(1)[:, None] + (v * v).sum(1)[None, :] - 2.0 * dots
+            )
+        else:
+            d = 1.0 - dots
+        k = min(limit, pass_rows.size)
+        idx = np.argpartition(d, k - 1, axis=1)[:, :k]
+        dk = np.take_along_axis(d, idx, axis=1)
+        order = np.argsort(dk, axis=1, kind='stable')
+        idx = np.take_along_axis(idx, order, axis=1)
+        return (
+            np.take_along_axis(d, idx, axis=1).astype(np.float32),
+            pass_rows[idx].astype(np.int64),
+        )
+
     def reset(self):
         self._shards = [self._new_graph() for _ in range(self.n_shards)]
         self._host_vecs = [
@@ -676,6 +751,11 @@ class ShardedGraphIndex(BaseIndex):
         self._alive = np.zeros(0, dtype=bool)
         self._placed = None
         self._dirty = True
+        self._shard_codes = [
+            np.zeros((0, self.pq_codec.n_subvectors), self.pq_codec.code_dtype)
+            if self.pq_codec is not None else None
+            for _ in range(self.n_shards)
+        ]
 
     # ----- snapshot state -----
 
@@ -726,7 +806,14 @@ class ShardedGraphIndex(BaseIndex):
             gl = np.arange(n_s) * p + s
             a = np.ascontiguousarray(adj[s, :n_s])
             if self.build_mode == 'host' and a.shape[1] > self.max_degree:
-                a = np.ascontiguousarray(a[:, : self.max_degree])
+                # consolidate to the R nearest (plain column truncation
+                # drops the connectivity-bearing slack back-edges)
+                from ..index.graph import consolidate_adjacency
+
+                a = consolidate_adjacency(
+                    np.ascontiguousarray(v[gl]), a, self.max_degree,
+                    metric_ip=self.metric != Metric.EUCLIDEAN,
+                )
             self._shards[s].load(v[gl], a)
             if self.build_mode == 'host':
                 self._host_vecs[s] = np.ascontiguousarray(v[gl])

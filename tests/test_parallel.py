@@ -370,3 +370,96 @@ def test_sharded_graph_tiny_shards(rng):
     dists, ids = g.search(x[:4], limit=3)
     assert ids.shape == (4, 3)
     assert (ids[:, 0] == np.arange(4)).all()
+
+
+@require_devices(2)
+def test_sharded_graph_incremental_encode(rng):
+    """_sync_placed must encode only rows appended since the last sync
+    (round-2 verdict: full re-encode per dirty epoch = O(N) per insert)."""
+    from annlite_tpu.parallel import ShardedGraphIndex
+    from annlite_tpu.enums import Metric
+
+    n, d = 600, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    pq = _trained_pq(rng, x, m=8)
+    counted = {'rows': 0}
+    orig_encode = pq.encode
+
+    def counting_encode(arr):
+        counted['rows'] += np.atleast_2d(arr).shape[0]
+        return orig_encode(arr)
+
+    pq.encode = counting_encode
+    g = ShardedGraphIndex(d, metric=Metric.EUCLIDEAN, pq_codec=pq, rerank=32)
+    g.add_with_ids(x[:400], np.arange(400))
+    g.search(x[:4], limit=5)
+    first = counted['rows']
+    assert first == 400
+    g.add_with_ids(x[400:], np.arange(400, n))
+    g.search(x[:4], limit=5)
+    assert counted['rows'] - first == 200, (
+        f'second sync re-encoded {counted["rows"] - first} rows (want 200)'
+    )
+
+
+@require_devices(2)
+def test_sharded_graph_pq_low_memory_no_vector_copy(rng):
+    """True low-memory mode (pq_codec, rerank=0) must NOT place the full
+    bf16 vector copy on the mesh — only a 1-row-per-shard placeholder."""
+    from annlite_tpu.parallel import ShardedGraphIndex
+    from annlite_tpu.enums import Metric
+
+    n, d = 600, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    pq = _trained_pq(rng, x, m=8)
+    g = ShardedGraphIndex(d, metric=Metric.EUCLIDEAN, pq_codec=pq, rerank=0)
+    g.add_with_ids(x, np.arange(n))
+    pl = g._sync_placed()
+    assert pl['use_pq']
+    assert pl['vecs'].shape[0] == g.n_shards, (
+        f'low-memory mode shipped {pl["vecs"].shape[0]} vector rows'
+    )
+    _, ids = g.search(x[:5], limit=5)
+    assert ids.shape == (5, 5)
+
+
+@require_devices(2)
+def test_sharded_graph_selective_filter_fallback(rng):
+    """A 5%-selectivity mask must fall back to an exact scan over passing
+    rows (beam + post-merge masking pads with BIG rows instead)."""
+    from annlite_tpu.parallel import ShardedGraphIndex
+    from annlite_tpu.enums import Metric
+
+    n, d = 1000, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    g = ShardedGraphIndex(d, metric=Metric.EUCLIDEAN)
+    g.add_with_ids(x, np.arange(n))
+    mask = np.zeros(n, dtype=bool)
+    keep = rng.choice(n, size=50, replace=False)
+    mask[keep] = True
+    q = x[:6]
+    d_out, ids = g.search(q, limit=10, mask=mask)
+    assert ids.shape == (6, 10)
+    assert mask[ids].all(), 'result rows must pass the predicate'
+    # exact: brute force over passing rows only
+    d2 = ((q[:, None, :] - x[keep][None]) ** 2).sum(-1)
+    want = keep[np.argsort(d2, axis=1)[:, :10]]
+    np.testing.assert_array_equal(np.sort(ids, 1), np.sort(want, 1))
+
+
+def test_consolidate_adjacency_keeps_nearest():
+    """W->R consolidation keeps the R nearest neighbors wherever they sit
+    (truncation would drop slack columns outright)."""
+    from annlite_tpu.index.graph import consolidate_adjacency
+
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((50, 8)).astype(np.float32)
+    # row 0: out-edges 10..13 (far), slack 20..21 engineered near
+    v[20] = v[0] + 0.01
+    v[21] = v[0] + 0.02
+    adj = np.full((50, 6), -1, np.int32)
+    adj[0] = [10, 11, 12, 13, 20, 21]
+    out = consolidate_adjacency(v, adj, r=4)
+    assert out.shape == (50, 4)
+    assert 20 in out[0] and 21 in out[0]
+    assert (out[1:] == -1).all()
