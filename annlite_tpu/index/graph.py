@@ -446,6 +446,24 @@ class GraphIndex(BaseIndex):
         neg, pos = jax.lax.top_k(-d, min(limit * 4, r))
         return -neg, jnp.take_along_axis(cand_ids, pos, axis=1)
 
+    def check_integrity(self) -> dict:
+        """Graph-health report, mirroring hnswlib's ``checkIntegrity``
+        (`include/hnswlib/hnswalg.h:1363-1395`): edge validity, in-link
+        coverage, medoid reachability, degree histogram, dead fraction.
+        Use after loading a snapshot — a partitioned or truncated graph
+        shows up here long before recall collapses in production."""
+        n = self.size
+        if n == 0:
+            return {'n': 0, 'ok': True}
+        adj = np.asarray(
+            self._graph.raw_adjacency()
+            if hasattr(self._graph, 'raw_adjacency')
+            else self._graph.adjacency()
+        )[:n]
+        return graph_integrity_report(
+            adj, int(self._graph.medoid), n, dead_fraction=self.dead_fraction
+        )
+
     def reset(self):
         metric_ip = self.metric != Metric.EUCLIDEAN
         if self.build_mode == 'device':
@@ -512,6 +530,47 @@ class GraphIndex(BaseIndex):
 
 
 from functools import partial
+
+
+def graph_integrity_report(
+    adj: np.ndarray, medoid: int, n: int, dead_fraction: float = 0.0
+) -> dict:
+    """Core of ``check_integrity`` (shared with the sharded twin): edge
+    validity, in-link coverage, medoid-BFS reachability, degree stats."""
+    adj = np.asarray(adj)[:n]
+    valid = adj >= 0
+    edges = adj[valid]
+    out_of_range = int((edges >= n).sum())
+    self_loops = int((adj == np.arange(n)[:, None]).sum())
+    deg = valid.sum(axis=1)
+    inlinked = np.zeros(n, dtype=bool)
+    inlinked[np.clip(edges, 0, n - 1)] = True
+    seen = np.zeros(n, dtype=bool)
+    seen[medoid] = True
+    frontier = np.array([medoid])
+    while len(frontier):
+        nxt = adj[frontier].reshape(-1)
+        nxt = np.unique(nxt[(nxt >= 0) & (nxt < n)])
+        nxt = nxt[~seen[nxt]]
+        seen[nxt] = True
+        frontier = nxt
+    reachable = float(seen.mean())
+    return {
+        'n': n,
+        'medoid': int(medoid),
+        'reachable_fraction': reachable,
+        'no_inlink_count': int((~inlinked).sum() - (not inlinked[medoid])),
+        'out_of_range_edges': out_of_range,
+        'self_loops': self_loops,
+        'degree_min': int(deg.min()),
+        'degree_mean': float(deg.mean()),
+        'degree_max': int(deg.max()),
+        'isolated_count': int((deg == 0).sum()),
+        'dead_fraction': float(dead_fraction),
+        'ok': (
+            out_of_range == 0 and self_loops == 0 and reachable >= 0.99
+        ),
+    }
 
 
 def consolidate_adjacency(

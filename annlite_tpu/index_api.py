@@ -449,6 +449,21 @@ class AnnLite:
             )
         return idx.device_searcher(limit=limit, **kwargs)
 
+    def check_integrity(self) -> dict:
+        """Index-health report (reference ``checkIntegrity``,
+        `include/hnswlib/hnswalg.h:1363-1395`).  For graph indexes:
+        reachability fraction, degree histogram, invalid edges, dead
+        fraction — run it after ``restore`` to validate a snapshot.  Other
+        index types report basic size consistency."""
+        idx = self._container.index
+        if hasattr(idx, 'check_integrity'):
+            return idx.check_integrity()
+        return {
+            'n': int(idx.size),
+            'table_rows': int(self._container.cell_table.size),
+            'ok': int(idx.size) >= int(self._container.cell_table.size),
+        }
+
     def rows_to_docids(self, rows):
         """Map global rows (e.g. a ``device_searcher`` result, any shape)
         to doc ids in ONE batched SQL lookup; invalid/deleted rows map to
@@ -556,8 +571,21 @@ class AnnLite:
         rolls back the partial dir on failure."""
         if self._container is None:
             raise RuntimeError('nothing to snapshot')
-        ts = time.strftime('%Y%m%d%H%M%S') + f'{time.time() % 1:.6f}'[1:]
+        # snapshot name keyed off the DATA state, not the wall clock: latest
+        # cell-table commit time + the doc store's monotone transaction id
+        # (reference keys off MetaTable's latest commit,
+        # `annlite/index.py:601-616`) — same state, same name, reproducibly
+        latest = self._container.cell_table.get_latest_commit()
+        txid = self._container.doc_store.last_transaction_id
+        if latest is not None:
+            ts = str(latest[-1]).replace(' ', '#').replace(':', '-')
+            ts = f'{ts}.{txid:012d}'
+        else:
+            ts = time.strftime('%Y%m%d%H%M%S') + f'{time.time() % 1:.6f}'[1:]
         snap = self.snapshot_root / f'{ts}-SNAPSHOT'
+        if snap.exists():
+            # identical data state already snapshotted — refresh it in place
+            shutil.rmtree(snap)
         try:
             snap.mkdir(parents=True, exist_ok=False)
             self._container.cell_table.dump(snap / 'cells.db')
@@ -577,7 +605,12 @@ class AnnLite:
     def _latest_snapshot(self) -> Optional[Path]:
         if not self.snapshot_root.exists():
             return None
-        snaps = sorted(self.snapshot_root.glob('*-SNAPSHOT'))
+        # mtime order: robust across the commit-keyed and (legacy)
+        # wall-clock name formats
+        snaps = sorted(
+            self.snapshot_root.glob('*-SNAPSHOT'),
+            key=lambda p: p.stat().st_mtime,
+        )
         return snaps[-1] if snaps else None
 
     def _maybe_restore(self):

@@ -704,6 +704,32 @@ class ShardedGraphIndex(BaseIndex):
             ids = np.take_along_axis(ids, order, axis=1)
         return d[:, :limit], ids[:, :limit]
 
+    def check_integrity(self) -> dict:
+        """Per-shard graph-health reports + aggregate verdict (see
+        `index/graph.py graph_integrity_report`)."""
+        from ..index.graph import graph_integrity_report
+
+        shards = []
+        for s, g in enumerate(self._shards):
+            a = (
+                g.raw_adjacency() if hasattr(g, 'raw_adjacency')
+                else g.adjacency()
+            )
+            n_s = np.asarray(a).shape[0]
+            if n_s == 0:
+                shards.append({'n': 0, 'ok': True})
+                continue
+            shards.append(
+                graph_integrity_report(a, int(getattr(g, 'medoid', 0)), n_s)
+            )
+        return {
+            'n': self.size,
+            'n_shards': self.n_shards,
+            'dead_fraction': self.dead_fraction,
+            'ok': all(r['ok'] for r in shards),
+            'shards': shards,
+        }
+
     def _gather_rows(self, rows: np.ndarray) -> np.ndarray:
         """Vectors for arbitrary GLOBAL rows from the per-shard host copies
         (global row g lives on shard g % P at local index g // P)."""

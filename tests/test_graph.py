@@ -367,3 +367,40 @@ def test_tiny_index_search(data):
     idx.add_with_ids(data[5:64], np.arange(5, 64))
     _, ids2 = idx.search(data[:2], limit=3)
     assert ids2[0][0] == 0
+
+
+def test_check_integrity_healthy(data):
+    idx = GraphIndex(D, metric=Metric.EUCLIDEAN, max_degree=24)
+    idx.add_with_ids(data, np.arange(N))
+    rep = idx.check_integrity()
+    assert rep['ok'], rep
+    assert rep['reachable_fraction'] >= 0.99
+    assert rep['out_of_range_edges'] == 0 and rep['self_loops'] == 0
+    assert rep['degree_max'] >= rep['degree_min'] >= 1
+
+
+def test_check_integrity_catches_partition():
+    """A graph whose medoid can't reach half the nodes (the round-2
+    bulk-add bug's symptom) must fail the check."""
+    from annlite_tpu.index.graph import graph_integrity_report
+
+    # two disjoint 4-cliques; medoid in the first
+    adj = np.full((8, 3), -1, np.int32)
+    for i in range(4):
+        adj[i] = [j for j in range(4) if j != i]
+        adj[4 + i] = [4 + j for j in range(4) if j != i]
+    rep = graph_integrity_report(adj, medoid=0, n=8)
+    assert not rep['ok']
+    assert abs(rep['reachable_fraction'] - 0.5) < 1e-6
+
+
+def test_facade_check_integrity(tmp_index_path, data):
+    from annlite_tpu import AnnLite
+    from annlite_tpu.doc import Doc
+
+    ann = AnnLite(n_dim=D, metric='euclidean', index_type='graph',
+                  data_path=tmp_index_path + '/ci')
+    ann.index([Doc(id=f'd{i}', embedding=data[i]) for i in range(300)])
+    rep = ann.check_integrity()
+    assert rep['ok'] and rep['n'] == 300
+    ann.close()

@@ -278,3 +278,26 @@ def test_bulk_crud_20k(tmp_index_path, rng):
                               include_metadata=True)
     assert all(m.tags['bucket'] == 3 for row in r for m in row)
     ann.close()
+
+
+def test_snapshot_name_keyed_by_data_state(tmp_index_path, rng):
+    """Snapshot dirs are named from the latest table commit + doc-store
+    transaction id (reference `annlite/index.py:601-616`): dumping twice
+    with no writes in between reuses the SAME name; a write changes it."""
+    from annlite_tpu import AnnLite
+    from annlite_tpu.doc import Doc
+
+    x = rng.standard_normal((30, 8)).astype(np.float32)
+    ann = AnnLite(n_dim=8, metric='euclidean', data_path=tmp_index_path + '/s')
+    ann.index([Doc(id=f'd{i}', embedding=x[i]) for i in range(20)])
+    s1 = ann.dump_index()
+    s2 = ann.dump_index()
+    assert s1.name == s2.name, 'same data state must map to the same snapshot'
+    ann.index([Doc(id=f'e{i}', embedding=x[20 + i]) for i in range(5)])
+    s3 = ann.dump_index()
+    assert s3.name != s1.name
+    # latest-snapshot resolution restores the newest state
+    ann.close()
+    ann2 = AnnLite(n_dim=8, metric='euclidean', data_path=tmp_index_path + '/s')
+    assert ann2.total_docs == 25
+    ann2.close()
