@@ -222,8 +222,35 @@ class CellTable(Table):
         self._invalidate()
         return rows
 
-    def undelete_missing(self):  # pragma: no cover - reserved for compaction
-        raise NotImplementedError
+    def undelete(self, doc_ids: List[str]) -> List[int]:
+        """Restore soft-deleted docs (inverse of ``delete``): flips
+        ``_alive`` back on for each id's MOST RECENT dead row, unless a live
+        row with that id already exists (the partial-unique index guards
+        one-alive-per-id).  Returns the restored 0-based global rows."""
+        rows = []
+        with self._lock:
+            for doc_id in doc_ids:
+                live = self._conn.execute(
+                    f'SELECT 1 FROM {self.name} '
+                    f'WHERE _doc_id = ? AND _alive = 1', (doc_id,)
+                ).fetchone()
+                if live is not None:
+                    continue
+                r = self._conn.execute(
+                    f'SELECT _id FROM {self.name} '
+                    f'WHERE _doc_id = ? AND _alive = 0 '
+                    f'ORDER BY _id DESC LIMIT 1', (doc_id,)
+                ).fetchone()
+                if r is None:
+                    continue
+                self._conn.execute(
+                    f'UPDATE {self.name} SET _alive = 1 WHERE _id = ?',
+                    (r[0],),
+                )
+                rows.append(r[0] - 1)
+            self._conn.commit()
+        self._invalidate()
+        return rows
 
     # ----- reads -----
 

@@ -116,3 +116,17 @@ def test_get_docids_by_rows_batched():
     assert ids[:n] == [f'd{i}' for i in range(n)]
     assert ids[n] == 'd5' and ids[n + 1] == 'd5'
     assert ids[n + 2] is None
+
+
+def test_undelete(table):
+    table.insert(['a', 'b'], [0, 0], [{}, {}])
+    table.delete(['a'])
+    assert table.size == 1
+    rows = table.undelete(['a', 'b', 'zzz'])
+    assert rows == [0]  # only the dead row restores; live/missing skipped
+    assert table.size == 2
+    # re-delete then reinsert under the same id: undelete must refuse while
+    # a live row exists (one-alive-per-id invariant)
+    table.delete(['a'])
+    table.insert(['a'], [1], [{}])
+    assert table.undelete(['a']) == []
