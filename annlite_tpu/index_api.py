@@ -464,6 +464,19 @@ class AnnLite:
             'ok': int(idx.size) >= int(self._container.cell_table.size),
         }
 
+    def serving_searcher(self, limit: int = 10, **kwargs):
+        """Production serving closure: the jitted device-resident searcher
+        plus ONE batched SQL row→doc-id mapping per call.  ``query [Q, D]``
+        → ``(dists [Q, limit] np.ndarray, doc_ids [Q][limit] list)``.
+        Rebuild after writes (like ``device_searcher``)."""
+        run = self.device_searcher(limit=limit, **kwargs)
+
+        def search(query):
+            d, rows = run(query)
+            return np.asarray(d), self.rows_to_docids(np.asarray(rows))
+
+        return search
+
     def rows_to_docids(self, rows):
         """Map global rows (e.g. a ``device_searcher`` result, any shape)
         to doc ids in ONE batched SQL lookup; invalid/deleted rows map to

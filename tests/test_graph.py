@@ -404,3 +404,20 @@ def test_facade_check_integrity(tmp_index_path, data):
     rep = ann.check_integrity()
     assert rep['ok'] and rep['n'] == 300
     ann.close()
+
+
+def test_facade_serving_searcher(tmp_index_path, data):
+    """serving_searcher = jitted device search + ONE batched SQL mapping."""
+    import jax.numpy as jnp
+    from annlite_tpu import AnnLite
+    from annlite_tpu.doc import Doc
+
+    n = 300
+    ann = AnnLite(n_dim=D, metric='euclidean', index_type='flat',
+                  data_path=tmp_index_path + '/ss')
+    ann.index([Doc(id=f'd{i}', embedding=data[i]) for i in range(n)])
+    search = ann.serving_searcher(limit=5)
+    d, ids = search(jnp.asarray(data[:8]))
+    assert d.shape == (8, 5)
+    assert [row[0] for row in ids] == [f'd{i}' for i in range(8)]
+    ann.close()
