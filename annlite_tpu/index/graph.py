@@ -50,6 +50,7 @@ class GraphIndex(BaseIndex):
         entry_mode: str = 'sample',
         n_entry_samples: int = 1024,
         entry_width: int = 8,
+        filter_fallback_selectivity: float = 0.25,
         **kwargs,
     ):
         super().__init__(dim=dim, metric=metric, **kwargs)
@@ -94,7 +95,7 @@ class GraphIndex(BaseIndex):
         # below this predicate selectivity, filtered search switches to a
         # masked exact scan instead of graph traversal (reference fallback:
         # `annlite/core/index/hnsw/index.py:151-157`)
-        self.filter_fallback_selectivity = 0.25
+        self.filter_fallback_selectivity = filter_fallback_selectivity
         metric_ip = self.metric != Metric.EUCLIDEAN
         if build_mode == 'device':
             from .device_build import DeviceVamanaBuilder
