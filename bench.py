@@ -584,7 +584,8 @@ def st_facade():
     #   decomposed: jitted device_searcher chain slope + measured SQL
     #     mapping wall — what a locally-attached deployment pays.
     xs_np, D2 = S.xs_np, S.D2
-    NF = xs_np.shape[0]
+    NF = min(100_000, xs_np.shape[0])  # ingest dominates this stage's wall
+    xs_np = xs_np[:NF]
     tmpd = tempfile.mkdtemp()
     try:
         log(f'facade (flat, {NF} rows): ingest')
