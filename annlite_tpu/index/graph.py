@@ -45,7 +45,7 @@ class GraphIndex(BaseIndex):
         rerank: int = 0,
         n_threads: int = 0,
         build_mode: str = 'host',
-        build_batch_size: int = 4096,
+        build_batch_size: int = 16384,
         traverse: str = 'auto',
         entry_mode: str = 'sample',
         n_entry_samples: int = 1024,

@@ -522,7 +522,7 @@ def st_graph():
     gx = (S.centers_np[S.labels_1m[:GN]]
           + rng.normal(size=(GN, D2))).astype(np.float32)
     t0g = time.perf_counter()
-    gb = DeviceVamanaBuilder(D2, max_degree=32, l_build=64, batch_size=8192)
+    gb = DeviceVamanaBuilder(D2, max_degree=32, l_build=64)
     gb.add(gx)
     t_gbuild = time.perf_counter() - t0g
     log(f'graph build {t_gbuild:.1f}s ({GN/t_gbuild:.0f} rows/s)')
