@@ -404,3 +404,32 @@ def test_gateway_remote_backup_restore_roundtrip(tmp_path, rng):
         for s in servers:
             s.stop()
         art.stop()
+
+
+def test_cli_config_file_merge(tmp_path, monkeypatch):
+    """`python -m annlite_tpu.serving --config cfg.yml` seeds defaults from
+    the YAML params: section (deploy/config.yml shape, reference
+    executor/config.yml) and CLI flags override them."""
+    import annlite_tpu.serving.__main__ as cli
+
+    cfg = tmp_path / 'config.yml'
+    cfg.write_text(
+        'executor: AnnLiteIndexer\n'
+        'params:\n'
+        '  n_dim: 64\n'
+        '  metric: euclidean\n'
+        '  port: 9000\n'
+    )
+    seen = {}
+    monkeypatch.setattr(cli, 'serve', lambda **kw: seen.update(kw))
+
+    cli.main(['--config', str(cfg), '--port', '9001'])
+    assert seen['n_dim'] == 64
+    assert seen['metric'] == 'euclidean'
+    assert seen['port'] == 9001          # CLI wins over config
+    assert seen['index_type'] == 'auto'  # untouched default
+
+    import pytest
+
+    with pytest.raises(SystemExit):
+        cli.main([])  # n_dim missing everywhere
