@@ -11,7 +11,8 @@ __version__ = '0.1.0'
 from .enums import ExpandMode, Metric
 from .filter import Filter
 
-__all__ = ['Metric', 'ExpandMode', 'Filter', 'AnnLite', '__version__']
+__all__ = ['Metric', 'ExpandMode', 'Filter', 'AnnLite', 'DocumentArray',
+           '__version__']
 
 
 def __getattr__(name):
@@ -20,4 +21,8 @@ def __getattr__(name):
         from .index_api import AnnLite
 
         return AnnLite
+    if name == 'DocumentArray':
+        from .docarray_compat import DocumentArray
+
+        return DocumentArray
     raise AttributeError(f'module {__name__!r} has no attribute {name!r}')
