@@ -194,6 +194,14 @@ def st_flat():
         flat_search, lambda i: (qs[i], x8, xscale, x, ones_mask), S.carry0
     )
     log(f'flat batch64: {t_flat*1e3:.2f} ms')
+    # the headline is known NOW — record + emit before the slower batch-1 /
+    # recall sub-steps so a budget abort mid-stage still ships a real value
+    flat_qps = Q / t_flat
+    with _LOCK:
+        RESULT['value'] = round(flat_qps, 1)
+        RESULT['vs_baseline'] = round(flat_qps / BASELINE_QPS, 1)
+    set_extras(flat_batch64_latency_ms=round(t_flat * 1e3, 2))
+    emit()
     t_b1 = chain_time(
         flat_search, lambda i: (qs[i][:1], x8, xscale, x, ones_mask), S.carry0
     )
@@ -217,12 +225,7 @@ def st_flat():
         [len(set(approx_idx[i]) & set(exact_idx[i])) / TOPK for i in range(Q)]
     ))
 
-    flat_qps = Q / t_flat
-    with _LOCK:
-        RESULT['value'] = round(flat_qps, 1)
-        RESULT['vs_baseline'] = round(flat_qps / BASELINE_QPS, 1)
     set_extras(
-        flat_batch64_latency_ms=round(t_flat * 1e3, 2),
         flat_batch1_latency_ms=round(t_b1 * 1e3, 2),
         flat_recall_at_10_vs_exact=round(flat_recall, 4),
         device=str(jax.devices()[0]),
