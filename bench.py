@@ -174,6 +174,8 @@ def st_flat():
     x = jax.random.normal(S.kx, (N, D), dtype=jnp.float32)
     x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
     x8, xscale = quantize_rows_int8_jax(x)  # on device: no 3GB host pull
+    _ = float(xscale[0])  # sync: separates corpus-prep time from compile time
+    log(f'corpus ready at {time.monotonic() - T0:.1f}s')
     ones_mask = jnp.ones((N,), dtype=jnp.int8)
     qs = [
         jax.random.normal(jax.random.PRNGKey(100 + i), (Q, D), dtype=jnp.float32)
@@ -193,7 +195,8 @@ def st_flat():
     t_flat = chain_time(
         flat_search, lambda i: (qs[i], x8, xscale, x, ones_mask), S.carry0
     )
-    log(f'flat batch64: {t_flat*1e3:.2f} ms')
+    log(f'flat batch64: {t_flat*1e3:.2f} ms '
+        f'(timed at {time.monotonic() - T0:.1f}s)')
     # the headline is known NOW — record + emit before the slower batch-1 /
     # recall sub-steps so a budget abort mid-stage still ships a real value
     flat_qps = Q / t_flat
@@ -524,12 +527,26 @@ def st_graph():
     GN = min(131_072, N)
     gx = (S.centers_np[S.labels_1m[:GN]]
           + rng.normal(size=(GN, D2))).astype(np.float32)
-    t0g = time.perf_counter()
-    gb = DeviceVamanaBuilder(D2, max_degree=32, l_build=64)
-    gb.add(gx)
-    t_gbuild = time.perf_counter() - t0g
-    log(f'graph build {t_gbuild:.1f}s ({GN/t_gbuild:.0f} rows/s)')
-    adj_g = jnp.asarray(gb.raw_adjacency())  # W-wide serving graph
+    # cache the built adjacency: the build is deterministic for this corpus
+    # recipe, and a repeat driver run should spend its wall budget on the
+    # serving numbers, not on rebuilding the same graph
+    from pathlib import Path as _P
+
+    gcache = _P(f'/tmp/bench_graph_stage_{GN}_{D2}.npz')
+    if gcache.exists():
+        z = np.load(gcache)
+        raw_w, t_gbuild = z['raw_w'], float(z['t_build'])
+        log(f'graph build: reusing cached adjacency {gcache} '
+            f'(originally {t_gbuild:.1f}s)')
+    else:
+        t0g = time.perf_counter()
+        gb = DeviceVamanaBuilder(D2, max_degree=32, l_build=64)
+        gb.add(gx)
+        t_gbuild = time.perf_counter() - t0g
+        log(f'graph build {t_gbuild:.1f}s ({GN/t_gbuild:.0f} rows/s)')
+        raw_w = gb.raw_adjacency()
+        np.savez(gcache, raw_w=raw_w, t_build=t_gbuild)
+    adj_g = jnp.asarray(raw_w)  # W-wide serving graph
     gxd = jnp.asarray(gx)
     gt_g = np.asarray(S.exact_l2(jnp.asarray(S.qv2), gxd))
     # multi-entry seeding (GraphIndex default entry_mode='sample'):
@@ -801,8 +818,11 @@ def main():
     run_stage('pq', st_pq, 240)
     if hasattr(S, 'pq'):
         run_stage('ivf', st_ivf, 300, optional=True)
-        run_stage('graph', st_graph, 300, optional=True)
+        # facade before graph: the end-to-end serving number matters more
+        # than the in-bench graph rows (the datasets attachment already
+        # carries 1M graph sweeps), and the graph build is the longest stage
         run_stage('facade', st_facade, 240, optional=True)
+        run_stage('graph', st_graph, 300, optional=True)
         if opts.full:
             if hasattr(S, 'adj_g'):
                 run_stage('graph_packed', st_graph_packed, 240, optional=True)
