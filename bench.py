@@ -105,6 +105,9 @@ def run_stage(name, fn, budget_s, optional=False):
         with _LOCK:
             RESULT['extras'].setdefault('skipped_stages', []).append(name)
         return
+    # scale per-stage budgets with the env override (a warming run with a
+    # raised HARD budget must not be killed by the driver-tuned stage caps)
+    budget_s = budget_s * max(1.0, HARD_BUDGET / 560.0)
     with _LOCK:
         _STAGE['name'] = name
         _STAGE['deadline'] = time.monotonic() + budget_s
