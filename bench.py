@@ -43,7 +43,7 @@ import types
 import numpy as np
 
 T0 = time.monotonic()
-SOFT_BUDGET = float(os.environ.get('BENCH_SOFT_BUDGET_S', 400))
+SOFT_BUDGET = float(os.environ.get('BENCH_SOFT_BUDGET_S', 480))
 HARD_BUDGET = float(os.environ.get('BENCH_HARD_BUDGET_S', 560))
 BASELINE_QPS = 64 / 5.778  # reference README.md:350, batch=64 @ 1M
 
@@ -160,6 +160,53 @@ N_SMALL = int(os.environ.get('BENCH_SMALL_N', 200_000))
 Q, TOPK = 64, 10
 
 
+# ------------------- stage 0: mini flat-scan headline ---------------------
+def st_flat_mini():
+    """Insurance headline: a 131k-corpus flat scan that compiles+times in
+    seconds, so even a run killed inside the 1M stage ships a REAL number
+    (honestly labeled with its own corpus size — stage 1 overwrites both
+    the metric name and the value once the 1M timing lands)."""
+    import jax
+    import jax.numpy as jnp
+
+    from annlite_tpu.enums import Metric
+    from annlite_tpu.ops.scan import quantize_rows_int8_jax, scan_topk
+
+    N0 = min(131_072, N)  # respects BENCH_N for CPU smoke runs
+    key = jax.random.PRNGKey(7)
+
+    @jax.jit
+    def mk(kx):
+        x = jax.random.normal(kx, (N0, D), dtype=jnp.float32)
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        x8, xs = quantize_rows_int8_jax(x)
+        return x, x8, xs
+
+    x, x8, xs = mk(key)
+    mask = jnp.ones((N0,), dtype=jnp.int8)
+    qs = [jax.random.normal(jax.random.PRNGKey(200 + i), (Q, D),
+                            dtype=jnp.float32) for i in range(12)]
+
+    @jax.jit
+    def srch(q, x8, xs, x, mask, carry):
+        q = q + carry * 1e-12
+        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        d, i = scan_topk(q, x8, xs, None, mask, TOPK, Metric.COSINE, x_f32=x)
+        return d, i, d[0, 0]
+
+    t = chain_time(srch, lambda i: (qs[i], x8, xs, x, mask),
+                   jnp.float32(0.0), reps=(2, 8), trials=2)
+    qps = Q / t
+    with _LOCK:
+        if RESULT['value'] == 0.0:
+            RESULT['metric'] = 'qps_131k_768d_batch64_flat_cosine_top10'
+            RESULT['value'] = round(qps, 1)
+            # baseline at 131k interpolated from the reference's 100k row
+            # (0.649 s / 64 queries, README.md:347): ~75 QPS
+            RESULT['vs_baseline'] = round(qps / (64 / 0.649 / (131_072 / 100_000)), 1)
+    set_extras(flat_mini_131k_batch64_qps=round(qps, 1))
+
+
 # --------------------------- stage 1: flat scan ---------------------------
 def st_flat():
     import jax
@@ -174,9 +221,17 @@ def st_flat():
     # 2^20 rows: >= the reference's 1M AND the library's natural padded
     # geometry (DeviceBuffer pads capacity to 64k chunks), which enables the
     # fused Pallas scan+select kernel (ops/fused_scan.py)
-    x = jax.random.normal(S.kx, (N, D), dtype=jnp.float32)
-    x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
-    x8, xscale = quantize_rows_int8_jax(x)  # on device: no 3GB host pull
+    # ONE jitted program for the whole corpus build: eager op-by-op prep of
+    # a 3GB array costs ~190s through the tunnel (measured); fused it is
+    # a single dispatch and the compile hits the persistent cache
+    @jax.jit
+    def make_corpus(kx):
+        x = jax.random.normal(kx, (N, D), dtype=jnp.float32)
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        x8, xscale = quantize_rows_int8_jax(x)
+        return x, x8, xscale
+
+    x, x8, xscale = make_corpus(S.kx)
     _ = float(xscale[0])  # sync: separates corpus-prep time from compile time
     log(f'corpus ready at {time.monotonic() - T0:.1f}s')
     ones_mask = jnp.ones((N,), dtype=jnp.int8)
@@ -204,6 +259,7 @@ def st_flat():
     # recall sub-steps so a budget abort mid-stage still ships a real value
     flat_qps = Q / t_flat
     with _LOCK:
+        RESULT['metric'] = 'qps_1M_768d_batch64_flat_cosine_top10'
         RESULT['value'] = round(flat_qps, 1)
         RESULT['vs_baseline'] = round(flat_qps / BASELINE_QPS, 1)
     set_extras(flat_batch64_latency_ms=round(t_flat * 1e3, 2))
@@ -814,6 +870,7 @@ def main():
     jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_annlite_bench')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
+    run_stage('flat_mini', st_flat_mini, 180)
     run_stage('flat', st_flat, 300)
     run_stage('filtered', st_filtered, 120)
     if opts.full:
