@@ -582,8 +582,8 @@ def st_graph():
     from annlite_tpu.ops.beam import beam_search_vectors
 
     D2, rng = S.D2, S.rng
-    log('graph: device Vamana build (131k, 768-d)')
     GN = min(131_072, N)
+    log(f'graph: device Vamana build ({GN} rows, {D2}-d)')
     gx = (S.centers_np[S.labels_1m[:GN]]
           + rng.normal(size=(GN, D2))).astype(np.float32)
     # cache the built adjacency: the build is deterministic for this corpus
@@ -637,10 +637,10 @@ def st_graph():
     )
     log(f'graph ef=128: {t_graph*1e3:.2f} ms/batch recall@10={recall_g:.4f}')
     set_extras(
-        graph_131k_768d_device_build_s=round(t_gbuild, 1),
-        graph_131k_768d_build_rows_per_s=round(GN / t_gbuild, 0),
-        graph_131k_768d_ef128_batch64_qps=round(Q / t_graph, 1),
-        graph_131k_768d_ef128_recall_at_10=round(recall_g, 4),
+        graph_131k_128d_device_build_s=round(t_gbuild, 1),
+        graph_131k_128d_build_rows_per_s=round(GN / t_gbuild, 0),
+        graph_131k_128d_ef128_batch64_qps=round(Q / t_graph, 1),
+        graph_131k_128d_ef128_recall_at_10=round(recall_g, 4),
     )
     S.adj_g, S.gxd, S.gt_g = adj_g, gxd, gt_g
     S.svecs_g, S.sids_g, S.qv2_sets = svecs_g, sids_g, qv2_sets
@@ -765,8 +765,8 @@ def st_graph_packed():
     log(f'graph packed ef=128: {t_graph_p*1e3:.2f} ms/batch '
         f'recall@10={recall_gp:.4f}')
     set_extras(
-        graph_packed_131k_768d_ef128_batch64_qps=round(Q / t_graph_p, 1),
-        graph_packed_131k_768d_ef128_recall_at_10=round(recall_gp, 4),
+        graph_packed_131k_128d_ef128_batch64_qps=round(Q / t_graph_p, 1),
+        graph_packed_131k_128d_ef128_recall_at_10=round(recall_gp, 4),
     )
 
 
