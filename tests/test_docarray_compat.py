@@ -112,3 +112,21 @@ def test_save_load(tmp_path):
         da2.append(Doc(id=str(i), embedding=rng.random(8, np.float32)))
     assert len(da2) == N + N
     da2.close()
+
+
+def test_save_load_with_snapshot_keeps_offsets(tmp_path):
+    """With a snapshot (`dump()`), reopen restores the cell table verbatim,
+    so offset order survives exactly (the store-rebuild path above only
+    guarantees the id set)."""
+    N = 50
+    rng = np.random.default_rng(1)
+    da = _mk(tmp_path, n_dim=8)
+    for i in range(N):
+        da.append(Doc(id=str(i), embedding=rng.random(8, np.float32)))
+    da._annlite.dump()
+    da._annlite.close()
+
+    da2 = _mk(tmp_path, n_dim=8)
+    assert da2._offset2ids.ids == [str(i) for i in range(N)]
+    assert da2[0].id == '0' and da2[-1].id == str(N - 1)
+    da2.close()
