@@ -447,6 +447,17 @@ class AnnLite:
             raise NotImplementedError(
                 f'{type(idx).__name__} has no device-resident searcher'
             )
+        if not hasattr(idx, 'delete_rows'):
+            # the index doesn't track deletes internally (flat): fuse the
+            # container's alive bitmap into the captured mask so deleted
+            # docs never surface on the device path
+            alive = self._container._alive
+            user = kwargs.pop('mask', None)
+            if user is None:
+                kwargs['mask'] = alive
+            else:
+                u = np.asarray(user[: len(alive)]).astype(bool)
+                kwargs['mask'] = u & alive[: len(u)]
         return idx.device_searcher(limit=limit, **kwargs)
 
     def check_integrity(self) -> dict:
@@ -470,6 +481,9 @@ class AnnLite:
         → ``(dists [Q, limit] np.ndarray, doc_ids [Q][limit] list)``.
         Rebuild after writes (like ``device_searcher``)."""
         run = self.device_searcher(limit=limit, **kwargs)
+        # materialize the row→doc-id array now: per-call mapping becomes a
+        # numpy index (~µs) instead of a chunked SELECT (~1.2 ms/batch-64)
+        self._container.cell_table.docids_array()
 
         def search(query):
             d, rows = run(query)

@@ -159,6 +159,19 @@ class CellTable(Table):
                 f'CREATE INDEX IF NOT EXISTS idx_{self.name}_{c} ON {self.name} ({c})'
             )
         self._columns_cache: Optional[Dict[str, np.ndarray]] = None
+        # row→doc-id cache for the serving hot path; append-only under
+        # insert, UNCHANGED by soft delete/undelete (they only flip _alive),
+        # dropped by any raw execute()/load() (compact, restore, ...)
+        self._docids_cache: Optional[np.ndarray] = None
+
+    def execute(self, sql: str, params=()):
+        self._docids_cache = None
+        return super().execute(sql, params)
+
+    def load(self, source):
+        self._docids_cache = None
+        self._invalidate()
+        return super().load(source)
 
     @property
     def columns(self) -> List[str]:
@@ -200,6 +213,15 @@ class CellTable(Table):
             except Exception:
                 self._conn.rollback()
                 raise
+            if self._docids_cache is not None:
+                if len(self._docids_cache) == start:
+                    new = np.empty(len(rows), dtype=object)
+                    new[:] = doc_ids
+                    self._docids_cache = np.concatenate(
+                        [self._docids_cache, new]
+                    )
+                else:  # misaligned (shouldn't happen) — rebuild lazily
+                    self._docids_cache = None
         self._invalidate()
         return list(range(start, start + len(rows)))
 
@@ -287,14 +309,39 @@ class CellTable(Table):
         )
         return r[0][0] if r else None
 
+    def docids_array(self) -> np.ndarray:
+        """Materialized row→doc-id object array (serving hot path: indexing
+        it is ~µs vs ~1.2 ms for the chunked SELECT at batch-64×top-10).
+        Build cost one full scan, then kept valid incrementally: inserts
+        append, soft delete/undelete don't change the mapping, raw
+        ``execute``/``load`` drop it."""
+        with self._lock:  # non-reentrant: use _conn directly in here
+            if self._docids_cache is None:
+                n = self._conn.execute(
+                    f'SELECT COALESCE(MAX(_id), 0) FROM {self.name}'
+                ).fetchone()[0]
+                arr = np.full(n, None, dtype=object)
+                for _id, did in self._conn.execute(
+                    f'SELECT _id, _doc_id FROM {self.name}'
+                ):
+                    arr[_id - 1] = did
+                self._docids_cache = arr
+            return self._docids_cache
+
     def get_docids_by_rows(self, rows: List[int]) -> List[Optional[str]]:
-        """Row→doc-id for a batch in ONE ``SELECT ... WHERE _id IN (...)``
-        per ≤900-key chunk (SQLite bound-variable ceiling) — the serving hot
-        path maps every candidate of every query through here (reference
-        per-row loop: `annlite/container.py:213-260`)."""
+        """Row→doc-id for a batch — a cached-array lookup when the cache is
+        materialized (see ``docids_array``), else ONE ``SELECT ... WHERE _id
+        IN (...)`` per ≤900-key chunk (SQLite bound-variable ceiling). The
+        serving hot path maps every candidate of every query through here
+        (reference per-row loop: `annlite/container.py:213-260`)."""
         out: List[Optional[str]] = [None] * len(rows)
         if not rows:
             return out
+        cache = self._docids_cache
+        if cache is not None:
+            n = len(cache)
+            return [cache[r] if 0 <= r < n else None
+                    for r in np.asarray(rows, dtype=np.int64)]
         pos: dict = {}
         for j, row in enumerate(rows):
             pos.setdefault(int(row) + 1, []).append(j)

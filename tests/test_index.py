@@ -301,3 +301,28 @@ def test_snapshot_name_keyed_by_data_state(tmp_index_path, rng):
     ann2 = AnnLite(n_dim=8, metric='euclidean', data_path=tmp_index_path + '/s')
     assert ann2.total_docs == 25
     ann2.close()
+
+
+def test_device_searcher_masks_deleted(tmp_index_path, rng):
+    """The device serving path must not surface deleted docs: the facade
+    fuses the container's alive bitmap into the flat index's captured mask
+    (graph indexes track deletes internally via delete_rows)."""
+    from annlite_tpu.doc import Doc
+
+    x = rng.standard_normal((500, D)).astype(np.float32)
+    ann = AnnLite(n_dim=D, metric='euclidean', data_path=tmp_index_path)
+    ann.index([Doc(id=f'd{i}', embedding=x[i]) for i in range(len(x))])
+    s = ann.serving_searcher(limit=5)
+    _, ids = s(x[:3])
+    assert [ids[i][0] for i in range(3)] == ['d0', 'd1', 'd2']
+    ann.delete(['d1'])
+    s = ann.serving_searcher(limit=5)   # rebuild captures the new mask
+    _, ids = s(x[1:2])
+    assert 'd1' not in ids[0]
+    # a user-supplied mask is ANDed with alive, not replaced
+    import jax.numpy as jnp
+
+    run = ann.device_searcher(limit=5, mask=np.ones(len(x), dtype=bool))
+    _, rows = run(jnp.asarray(x[1:2]))
+    assert 1 not in np.asarray(rows)[0]
+    ann.close()

@@ -130,3 +130,39 @@ def test_undelete(table):
     table.delete(['a'])
     table.insert(['a'], [1], [{}])
     assert table.undelete(['a']) == []
+
+
+def test_docids_array_cache_matches_sql():
+    """The materialized row→doc-id cache (serving hot path) must agree with
+    the SQL path across inserts, soft deletes, undeletes, and raw-SQL
+    mutations (which drop it)."""
+    t = CellTable('dc', columns=[('n', int)])
+    ids = [f'd{i}' for i in range(50)]
+    t.insert(ids, [0] * 50, [{'n': i} for i in range(50)])
+
+    probe = [0, 7, 49, 50, -1, 12]
+    sql_out = t.get_docids_by_rows(probe)
+    arr = t.docids_array()
+    assert len(arr) == 50
+    cached_out = t.get_docids_by_rows(probe)  # now served from the cache
+    assert cached_out == sql_out
+
+    # insert appends to the live cache
+    t.insert(['x1', 'x2'], [0, 0], [{}, {}])
+    assert t._docids_cache is not None and len(t._docids_cache) == 52
+    assert t.get_docids_by_rows([50, 51]) == ['x1', 'x2']
+
+    # soft delete / undelete keep the mapping (rows keep their doc id)
+    t.delete(['d7'])
+    assert t._docids_cache is not None
+    assert t.get_docids_by_rows([7]) == ['d7']
+    t.undelete(['d7'])
+    assert t.get_docids_by_rows([7]) == ['d7']
+
+    # a raw execute (compaction-style) drops the cache; rebuild agrees
+    t.execute(f'DELETE FROM {t.name}')
+    t.execute(f"DELETE FROM sqlite_sequence WHERE name='{t.name}'")
+    assert t._docids_cache is None
+    t.insert(['z'], [0], [{}])
+    assert t.get_docids_by_rows([0, 1]) == ['z', None]
+    assert list(t.docids_array()) == ['z']
