@@ -700,6 +700,9 @@ def st_facade():
         qj = jnp.asarray(qn)
         t_dev = chain_time(lambda q, c: run(q, c), lambda i: (qj,), S.carry0)
         rows = np.asarray(run(qj, S.carry0)[1])
+        # warm the row→doc-id cache, as AnnLite.serving_searcher does — the
+        # mapping then costs ~0.2 ms instead of the ~1-2 ms chunked SELECT
+        ann._container.cell_table.docids_array()
         t_sql = min(
             _walled(lambda: ann.rows_to_docids(rows)) for _ in range(5)
         )
