@@ -165,8 +165,13 @@ class CellTable(Table):
         self._docids_cache: Optional[np.ndarray] = None
 
     def execute(self, sql: str, params=()):
-        self._docids_cache = None
-        return super().execute(sql, params)
+        try:
+            return super().execute(sql, params)
+        finally:
+            # AFTER the SQL runs: dropping first would let a concurrent
+            # docids_array() rebuild from the pre-mutation table and
+            # resurrect a stale cache
+            self._docids_cache = None
 
     def load(self, source):
         self._docids_cache = None
