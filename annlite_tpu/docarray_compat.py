@@ -91,8 +91,15 @@ class DocumentArray:
         ids = [self._offset2ids.ids[k] if isinstance(k, (int, np.integer))
                else str(k) for k in keys]
         # delete raises ValueError on a missing id (reference
-        # tests/docarray/test_del.py::test_delete_not_found)
-        self._annlite.delete(ids, raise_errors_on_not_found=True)
+        # tests/docarray/test_del.py::test_delete_not_found).  A partial
+        # batch delete (earlier ids removed before the missing one raises)
+        # must not desync the offset map — resync it from the table on
+        # failure instead of leaving the pre-delete snapshot in place.
+        try:
+            self._annlite.delete(ids, raise_errors_on_not_found=True)
+        except Exception:
+            self._offset2ids = _Offset2Ids(self._load_ids())
+            raise
         gone = set(ids)
         self._offset2ids.ids = [i for i in self._offset2ids.ids
                                 if i not in gone]
@@ -139,11 +146,12 @@ class DocumentArray:
         batched = q.ndim == 2
         q2 = q if batched else q[None, :]
         qdocs = [Doc(id=f'_q{i}', embedding=q2[i]) for i in range(len(q2))]
-        # num_candidates maps to a wider internal candidate pool; the flat /
-        # rerank paths already over-fetch internally, so it only needs to
-        # widen `limit` when the caller asked for a bigger pool than limit
-        self._annlite.search(qdocs, filter=filter, limit=limit)
-        out = [d.matches for d in qdocs]
+        # num_candidates widens the internal candidate pool (the reference
+        # forwards it to HNSW ef): search with the wider limit, then
+        # truncate the matches back to `limit`
+        wide = max(limit, num_candidates or 0)
+        self._annlite.search(qdocs, filter=filter, limit=wide)
+        out = [d.matches[:limit] for d in qdocs]
         return out if batched else out[0]
 
     # ----- context manager (reference: `with annlite_doc:` commits) -----

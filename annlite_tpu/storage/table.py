@@ -173,6 +173,14 @@ class CellTable(Table):
             # resurrect a stale cache
             self._docids_cache = None
 
+    def executemany(self, sql: str, rows):
+        try:
+            return super().executemany(sql, rows)
+        finally:
+            # same invalidation as execute(): a raw executemany mutation
+            # must not leave a stale row→doc-id cache serving wrong ids
+            self._docids_cache = None
+
     def load(self, source):
         self._docids_cache = None
         self._invalidate()
@@ -321,7 +329,8 @@ class CellTable(Table):
         append, soft delete/undelete don't change the mapping, raw
         ``execute``/``load`` drop it."""
         with self._lock:  # non-reentrant: use _conn directly in here
-            if self._docids_cache is None:
+            arr = self._docids_cache
+            if arr is None:
                 n = self._conn.execute(
                     f'SELECT COALESCE(MAX(_id), 0) FROM {self.name}'
                 ).fetchone()[0]
@@ -331,7 +340,10 @@ class CellTable(Table):
                 ):
                     arr[_id - 1] = did
                 self._docids_cache = arr
-            return self._docids_cache
+            # return the LOCAL reference: a concurrent execute()'s finally
+            # clears the attribute outside the lock, so re-reading
+            # self._docids_cache here could return None to the caller
+            return arr
 
     def get_docids_by_rows(self, rows: List[int]) -> List[Optional[str]]:
         """Row→doc-id for a batch — a cached-array lookup when the cache is

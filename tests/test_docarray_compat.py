@@ -130,3 +130,34 @@ def test_save_load_with_snapshot_keeps_offsets(tmp_path):
     assert da2._offset2ids.ids == [str(i) for i in range(N)]
     assert da2[0].id == '0' and da2[-1].id == str(N - 1)
     da2.close()
+
+
+def test_delete_partial_batch_resyncs_offsets(tmp_path):
+    """A batch delete containing a missing id raises, but earlier ids in
+    the batch may already be gone — the offset map must resync with the
+    table instead of keeping the pre-delete snapshot."""
+    da = _mk(tmp_path)
+    with da:
+        da.extend(_docs(6))
+    with pytest.raises(ValueError):
+        del da[['r0', 'r1', 'nope']]
+    # offset map matches the table exactly (whatever the table now holds)
+    assert da._offset2ids.ids == da._load_ids()
+    assert len(da) == len(da[:, 'embedding'])
+
+
+def test_find_num_candidates_widens_then_truncates(tmp_path):
+    da = _mk(tmp_path, n_dim=4, metric='euclidean')
+    da.extend(_docs(30, 4))
+    seen = {}
+    orig = da._annlite.search
+
+    def spy(docs, filter=None, limit=10, **kw):
+        seen['limit'] = limit
+        return orig(docs, filter=filter, limit=limit, **kw)
+
+    da._annlite.search = spy
+    out = da.find(np.ones(4, np.float32) * 3, limit=5, num_candidates=20)
+    assert seen['limit'] == 20       # widened internal pool
+    assert len(out) == 5             # truncated back to limit
+    assert out[0].id == 'r3'

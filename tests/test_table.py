@@ -166,3 +166,18 @@ def test_docids_array_cache_matches_sql():
     t.insert(['z'], [0], [{}])
     assert t.get_docids_by_rows([0, 1]) == ['z', None]
     assert list(t.docids_array()) == ['z']
+
+
+def test_executemany_drops_docid_cache():
+    """Raw executemany mutations must invalidate the row→doc-id cache just
+    like execute()/load() do (asymmetric invalidation would silently serve
+    stale doc ids)."""
+    t = CellTable('dcm', columns=[('n', int)])
+    t.insert(['a', 'b'], [0, 0], [{'n': 1}, {'n': 2}])
+    assert list(t.docids_array()) == ['a', 'b']
+    t.executemany(
+        f'UPDATE {t.name} SET _doc_id = ? WHERE _doc_id = ?',
+        [('a2', 'a'), ('b2', 'b')],
+    )
+    assert t._docids_cache is None
+    assert list(t.docids_array()) == ['a2', 'b2']
