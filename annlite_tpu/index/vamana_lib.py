@@ -1,21 +1,53 @@
 """ctypes bindings for the native Vamana graph builder
-(`native/vamana.cpp`) — built on demand with the repo Makefile."""
+(`native/vamana.cpp`).
+
+Library resolution order:
+1. ``$ANNLITE_TPU_VAMANA_LIB`` (explicit override);
+2. ``annlite_tpu/_native/libvamana.so`` — compiled into the wheel by
+   ``setup.py`` (``pip install .``), with an on-demand ``g++`` rebuild from
+   the shipped source if only ``vamana.cpp`` is present;
+3. the repo-checkout ``native/`` directory, built on demand via ``make``.
+"""
 import ctypes
+import os
+import shutil
 import subprocess
 from pathlib import Path
 
-_NATIVE_DIR = Path(__file__).resolve().parents[2] / 'native'
-_LIB_PATH = _NATIVE_DIR / 'libvamana.so'
+_PKG_NATIVE_DIR = Path(__file__).resolve().parents[1] / '_native'
+_REPO_NATIVE_DIR = Path(__file__).resolve().parents[2] / 'native'
 _lib = None
+
+
+def _resolve_lib_path() -> Path:
+    env = os.environ.get('ANNLITE_TPU_VAMANA_LIB')
+    if env:
+        return Path(env)
+    pkg_so = _PKG_NATIVE_DIR / 'libvamana.so'
+    if pkg_so.exists():
+        return pkg_so
+    pkg_src = _PKG_NATIVE_DIR / 'vamana.cpp'
+    if pkg_src.exists():  # installed wheel without a prebuilt .so
+        cxx = shutil.which('g++') or shutil.which('c++')
+        if cxx:
+            subprocess.run(
+                [cxx, '-O3', '-march=native', '-std=c++17', '-fPIC',
+                 '-pthread', '-shared', str(pkg_src), '-o', str(pkg_so)],
+                check=True, capture_output=True,
+            )
+            return pkg_so
+    repo_so = _REPO_NATIVE_DIR / 'libvamana.so'
+    if not repo_so.exists():
+        subprocess.run(['make', '-C', str(_REPO_NATIVE_DIR)], check=True,
+                       capture_output=True)
+    return repo_so
 
 
 def load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
-        subprocess.run(['make', '-C', str(_NATIVE_DIR)], check=True, capture_output=True)
-    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib = ctypes.CDLL(str(_resolve_lib_path()))
     c_float_p = ctypes.POINTER(ctypes.c_float)
     c_int32_p = ctypes.POINTER(ctypes.c_int32)
     lib.vamana_create.restype = ctypes.c_void_p
