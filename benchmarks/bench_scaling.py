@@ -106,14 +106,40 @@ def main():
         else:
             eff = qps / (p * base) * sizes[0]
         rows[p]['efficiency'] = round(float(eff), 3)
-        log(f'P={p}: n={n} {qps:.0f} qps eff={eff:.2f}')
+        # virtual CPU devices SHARE host FLOPs, so the real-device ideal
+        # above is unreachable by construction there.  The meaningful
+        # CPU-mesh number is the fixed-silicon ideal: total FLOPs are
+        # constant, so ideal QPS is flat (strong: same total work) or
+        # base/P (weak: P× total work) — the ratio measures pure
+        # sharding + collective-merge overhead, which IS what the virtual
+        # mesh can validate.
+        ideal_fixed = base if args.mode == 'strong' else base / p
+        rows[p]['fixed_flops_efficiency'] = round(float(qps / ideal_fixed), 3)
+        log(f'P={p}: n={n} {qps:.0f} qps eff={eff:.2f} '
+            f'fixed-flops-eff={qps / ideal_fixed:.2f}')
 
-    print(json.dumps({
+    record = {
         'mode': args.mode, 'backend': jax.default_backend(),
-        'note': ('virtual CPU devices share host FLOPs - harness validation '
-                 'only' if jax.default_backend() == 'cpu' else 'real devices'),
+        'note': ('virtual CPU devices share host FLOPs: `efficiency` (the '
+                 'real-device ideal) is unreachable by construction; '
+                 '`fixed_flops_efficiency` (sharding+collective overhead '
+                 'vs unsharded, same silicon) is the validated number'
+                 if jax.default_backend() == 'cpu' else 'real devices'),
         'rows': rows,
-    }))
+    }
+    print(json.dumps(record))
+    # persist for bench.py to attach to the driver record (keyed by mode so
+    # weak+strong runs accumulate into one file)
+    out_path = Path(__file__).parent / 'results_scaling.json'
+    merged = {}
+    if out_path.exists():
+        try:
+            merged = json.loads(out_path.read_text())
+        except Exception:  # noqa: BLE001
+            merged = {}
+    merged[args.mode] = record
+    out_path.write_text(json.dumps(merged, indent=1))
+    log(f'wrote {out_path}')
 
 
 if __name__ == '__main__':
