@@ -279,3 +279,41 @@ class DistanceTable:
         return self.dtable[np.arange(m)[None, :], codes.astype(np.int64)].sum(
             axis=1, dtype=np.float32
         )
+
+
+def estimate_adc_self_recall(
+    pq: 'PQCodec', x_sample: np.ndarray, k: int = 10,
+    n_queries: int = 64, seed: int = 0,
+) -> float:
+    """Within-sample recall@k of RAW ADC ranking (rerank=0) vs exact
+    distances — a cheap build-time proxy for corpus-level raw-PQ recall.
+
+    On hard (isotropic / distance-concentrated) data raw PQ recall can be
+    far below the clustered-data numbers (measured 0.80 random vs 0.94+
+    SIFT-shaped at PQ64 — see TUNING.md); rerank=0 modes use this estimate
+    to warn before serving silently poor recall.  Sample queries are drawn
+    from the sample itself and ground truth is computed within the sample,
+    so the estimate costs O(n_queries * len(sample)) host FLOPs.
+    """
+    x = pq._prep(np.asarray(x_sample, dtype=np.float32))
+    n = x.shape[0]
+    rng = np.random.default_rng(seed)
+    qi = rng.choice(n, size=min(n_queries, n), replace=False)
+    q = x[qi]
+    codes = pq.encode(x).astype(np.int64)          # [n, M]
+    dt = pq.get_dist_mat(q)                        # [Q, M, K]
+    m_idx = np.arange(pq.n_subvectors)[None, :]
+    adc = np.stack([dt[j][m_idx, codes].sum(axis=1) for j in range(len(q))])
+    if pq.metric == Metric.EUCLIDEAN:
+        exact = (
+            (q * q).sum(1)[:, None] + (x * x).sum(1)[None, :]
+            - 2.0 * q @ x.T
+        )
+    else:  # IP / cosine (inputs already normalized by _prep for cosine)
+        exact = -(q @ x.T)
+    k = min(k, n)
+    gt = np.argpartition(exact, k - 1, axis=1)[:, :k]
+    got = np.argpartition(adc, k - 1, axis=1)[:, :k]
+    return float(np.mean([
+        len(set(gt[j]) & set(got[j])) / k for j in range(len(q))
+    ]))

@@ -117,6 +117,12 @@ class GraphIndex(BaseIndex):
         self._dev_codes = None
         self._packed = None  # (packed_i8, scale, norms) for traverse='packed'
         self._dirty = True
+        # rerank=0 + traverse='pq' is the true low-memory mode: traversal
+        # AND the returned ranking are raw PQ-LUT scores — guard its
+        # data-dependent recall floor (see index/pq_scan.py helper)
+        self._recall_guard_pending = (
+            pq_codec is not None and rerank == 0 and traverse == 'pq'
+        )
 
     @property
     def size(self) -> int:
@@ -152,6 +158,13 @@ class GraphIndex(BaseIndex):
             self._vectors = np.concatenate([self._vectors, x])
         self._alive = np.concatenate([self._alive, np.ones(len(ids), bool)])
         self._dirty = True
+        if self._recall_guard_pending and x.shape[0] >= 512:
+            from .pq_scan import _warn_if_low_raw_recall
+
+            self._recall_guard_pending = False
+            _warn_if_low_raw_recall(
+                self.pq_codec, x, 0.85, "GraphIndex(traverse='pq', rerank=0)"
+            )
 
     def delete_rows(self, rows):
         """Soft delete: traversal still ROUTES through dead nodes (their

@@ -29,6 +29,29 @@ from .base import BaseIndex
 from .buffer import DeviceBuffer
 
 
+def _warn_if_low_raw_recall(pq_codec, x_sample, floor, where,
+                            max_sample=4096):
+    """Rerank=0 recall-floor guard (VERDICT r3 #7): estimate within-sample
+    raw-ADC recall@10 on the first sizeable ingest batch and warn when it
+    sits below ``floor`` — raw-PQ recall is strongly data-dependent
+    (isotropic corpora measured ~0.80 vs 0.94+ SIFT-shaped at PQ64,
+    TUNING.md "Low-memory modes")."""
+    import warnings
+
+    from ..codecs.pq import estimate_adc_self_recall
+
+    r = estimate_adc_self_recall(pq_codec, x_sample[:max_sample])
+    if r < floor:
+        warnings.warn(
+            f'{where}: estimated raw-PQ recall@10 is {r:.2f} '
+            f'(< floor {floor:.2f}) on this data — rerank=0 serves the raw '
+            f'ADC ranking with no exact correction. Set rerank>0 (e.g. '
+            f'rerank=100) or raise n_subvectors; see TUNING.md.',
+            RuntimeWarning, stacklevel=3,
+        )
+    return r
+
+
 @partial(jax.jit, static_argnums=(4, 5))
 def _rerank(query, cand_idx, cand_adc_d, vectors, limit, metric_val):
     """Exact-score the shortlist: query [Q, D], cand_idx [Q, R],
@@ -58,6 +81,8 @@ class PQScanIndex(BaseIndex):
         recall_target: float = 0.99,
         rerank: int = 0,
         rerank_dtype=jnp.bfloat16,
+        recall_guard: bool = True,
+        recall_floor: float = 0.85,
         **kwargs,
     ):
         super().__init__(dim=dim, metric=pq_codec.metric, **kwargs)
@@ -68,6 +93,12 @@ class PQScanIndex(BaseIndex):
         self.exact_topk = exact_topk
         self.recall_target = recall_target
         self.rerank = rerank
+        # rerank=0 serves RAW ADC ranking, whose recall is data-dependent
+        # (isotropic data can sit far below the clustered-data numbers —
+        # TUNING.md "recall floor"); estimate once at ingest and warn
+        self.recall_guard = recall_guard and rerank == 0
+        self.recall_floor = recall_floor
+        self._guard_done = False
         # u8/u16/u32 per the codec's n_clusters (reference PQ_Space<CODETYPE>,
         # `include/hnswlib/space_pq.h:15-37`) — the ADC kernels widen codes
         # to int32 in-kernel, so only the storage dtype varies
@@ -103,6 +134,10 @@ class PQScanIndex(BaseIndex):
         self._codes_t.write(np.asarray(ids), codes.T)
         if self._vectors is not None:
             self._vectors.write(np.asarray(ids), x.astype(self._vectors.dtype))
+        if self.recall_guard and not self._guard_done and x.shape[0] >= 512:
+            self._guard_done = True
+            _warn_if_low_raw_recall(self.pq_codec, x, self.recall_floor,
+                                    'PQScanIndex(rerank=0)')
 
     def search(self, query: np.ndarray, limit: int = 10, mask: Optional[np.ndarray] = None):
         query = self._prep(query)

@@ -104,7 +104,8 @@ class ArtifactServer:
         self.store = LocalTransport(root)
         handler = type('Handler', (_Handler,), {'store': self.store})
         self._httpd = ThreadingHTTPServer((host, port), handler)
-        self.host, self.port = host, port
+        # read back the BOUND address so port=0 (ephemeral) works in tests
+        self.host, self.port = self._httpd.server_address[:2]
         self._thread = None
 
     @property

@@ -182,3 +182,48 @@ def test_opq_via_facade(tmp_index_path, rng):
     _, ids2 = b.search_numpy(x[:10], limit=10)
     assert ids == ids2
     b.close()
+
+
+def test_recall_floor_guard_rerank0():
+    """Rerank=0 low-memory modes estimate raw-ADC self-recall at first
+    sizeable ingest and warn below the floor (VERDICT r3 #7): the warning
+    must fire on adversarial isotropic data and stay quiet on clustered
+    data (where raw PQ recall is fine)."""
+    import warnings
+
+    import pytest
+
+    from annlite_tpu.codecs import PQCodec
+    from annlite_tpu.index.pq_scan import PQScanIndex
+
+    rng = np.random.default_rng(0)
+    d, m, k = 64, 32, 64
+    # isotropic gaussian: the documented pathological case for raw PQ
+    # (distance concentration; measured ~0.77 self-recall here)
+    iso = rng.standard_normal((3000, d)).astype(np.float32)
+    pq_iso = PQCodec(dim=d, n_subvectors=m, n_clusters=k, n_init=1,
+                     metric='euclidean')
+    pq_iso.fit(iso[:2000], iter=8)
+    idx = PQScanIndex(dim=d, pq_codec=pq_iso, rerank=0)
+    with pytest.warns(RuntimeWarning, match='raw-PQ recall'):
+        idx.add_with_ids(iso, np.arange(len(iso)))
+
+    # moderately clustered (the realistic regime): raw ADC resolves the
+    # ranking (~0.93 self-recall) — no warning
+    centers = rng.standard_normal((256, d)).astype(np.float32) * 2.0
+    lab = rng.integers(0, 256, 3000)
+    clu = (centers[lab] + rng.standard_normal((3000, d))
+           ).astype(np.float32)
+    pq_clu = PQCodec(dim=d, n_subvectors=m, n_clusters=k, n_init=1,
+                     metric='euclidean')
+    pq_clu.fit(clu[:2000], iter=8)
+    idx2 = PQScanIndex(dim=d, pq_codec=pq_clu, rerank=0)
+    with warnings.catch_warnings():
+        warnings.simplefilter('error', RuntimeWarning)
+        idx2.add_with_ids(clu, np.arange(len(clu)))
+
+    # rerank>0 disables the guard entirely
+    idx3 = PQScanIndex(dim=d, pq_codec=pq_iso, rerank=50)
+    with warnings.catch_warnings():
+        warnings.simplefilter('error', RuntimeWarning)
+        idx3.add_with_ids(iso, np.arange(len(iso)))

@@ -110,3 +110,38 @@ def test_http_transport_roundtrip(tmp_path):
         assert not t.exists('b1')
     finally:
         srv.stop()
+
+
+def test_facade_backup_restore_over_http(tmp_path):
+    """Full AnnLite.backup -> HTTP artifact server -> AnnLite.restore
+    round-trip on a fresh data_path (VERDICT r3 #6; reference remote
+    backup/restore behavior `annlite/index.py:652-923`): doc-count parity
+    and identical top-10 results."""
+    import numpy as np
+
+    from annlite_tpu import AnnLite
+    from annlite_tpu.doc import Doc
+    from annlite_tpu.serving.artifact_server import ArtifactServer
+
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((300, 16)).astype(np.float32)
+    srv = ArtifactServer(tmp_path / 'store', port=0).start()
+    try:
+        a = AnnLite(n_dim=16, metric='euclidean', index_type='flat',
+                    data_path=str(tmp_path / 'src'))
+        a.index([Doc(id=f'd{i}', embedding=X[i]) for i in range(300)])
+        d_a, ids_a = a.search_numpy(X[:8], limit=10)
+        a.backup(target_name='http-bk', remote=srv.url)
+        a.close()
+
+        b = AnnLite(n_dim=16, metric='euclidean', index_type='flat',
+                    data_path=str(tmp_path / 'dst'))
+        b.restore(source_name='http-bk', remote=srv.url)
+        assert b.total_docs == 300
+        d_b, ids_b = b.search_numpy(X[:8], limit=10)
+        assert [list(r) for r in ids_b] == [list(r) for r in ids_a]
+        np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_a),
+                                   rtol=1e-5)
+        b.close()
+    finally:
+        srv.stop()
