@@ -31,10 +31,11 @@ import numpy as np
 from ..ops.beam import _resolve_iters, beam_search_vectors_bounded
 
 GROW_CHUNK = 1 << 17  # capacity growth quantum (keeps jit shapes reusable)
-PAD_Q = 8192          # query/prune chunk quantum (ditto; larger chunks
+PAD_Q = 16384         # query/prune chunk quantum (ditto; larger chunks
                       # amortize the per-dispatch latency of remote chips —
                       # measured at 100k×128-d: 2048→8192 with batch 16384
-                      # took the build 2290→2907 rows/s, recall unchanged)
+                      # took the build 2290→2907 rows/s, recall unchanged;
+                      # 16384 = one dispatch per default batch)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -58,6 +59,35 @@ def _scatter_rows(adj, rows, vals):
     return adj.at[rows].set(vals)
 
 
+@partial(jax.jit, static_argnames=('metric_ip', 'L', 'B', 'iters', 'E'))
+def _build_pools_call(adj, vecs_pool, q, sids, n,
+                      metric_ip: bool, L: int, B: int, iters: int, E: int):
+    """Entry seeding + bounded beam as ONE compiled program (one dispatch
+    per chunk).  Seeding: each query's nearest ``E`` of the ``sids``
+    sampled nodes, via one [chunk, S] MXU matmul — the build-side twin of
+    serving's `entry_mode='sample'` (graph._sample_entries), which measured
+    +20-55% QPS at identical recall; here it saves the beam iterations the
+    medoid seed spends routing to the query's neighborhood, so the iteration
+    budget (the pools stage's cost driver: ~B·W vector gathers per query
+    per iteration) can drop."""
+    me = not metric_ip
+    if E > 0:
+        sv = vecs_pool[sids].astype(jnp.float32)
+        dots = jnp.dot(q, sv.T, preferred_element_type=jnp.float32)
+        if me:
+            d = (jnp.sum(q * q, axis=1)[:, None]
+                 + jnp.sum(sv * sv, axis=1)[None, :] - 2.0 * dots)
+        else:
+            d = 1.0 - dots
+        _, pos = jax.lax.top_k(-d, min(E, d.shape[1]))
+        entry = sids[pos].astype(jnp.int32)
+    else:
+        entry = jnp.broadcast_to(sids[:1][None, :], (q.shape[0], 1))
+    return beam_search_vectors_bounded(
+        adj, entry, vecs_pool, q, n, me, L, B, iters, L,
+    )
+
+
 class DeviceVamanaBuilder:
     """Batched Vamana construction with device-side search + prune.
 
@@ -77,6 +107,10 @@ class DeviceVamanaBuilder:
         intra_k: Optional[int] = None,
         inc_cap: int = 32,
         slack: Optional[int] = None,
+        build_entry_samples: int = 1024,
+        build_entry_width: int = 8,
+        build_iters: Optional[int] = None,
+        pool_dtype: str = 'bf16',
     ):
         self.dim = dim
         self.r = max_degree
@@ -87,6 +121,26 @@ class DeviceVamanaBuilder:
         self.beam_width = beam_width
         self.intra_k = intra_k if intra_k is not None else max_degree
         self.inc_cap = inc_cap
+        # pools-stage knobs (the 1M build's dominant stage, ~37% of wall in
+        # the round-3 breakdown).  Seeded beams start inside the query's
+        # neighborhood, so the default iteration budget drops from
+        # max(2L/B, 16) to max(L/B + 4, 10); recall is protected by the
+        # slack back-edges + reachability repair and re-verified by the
+        # build-quality tests.  pool_dtype='bf16' halves the bytes of the
+        # per-iteration neighbor-vector gathers (scores are accumulated in
+        # f32 either way; RobustPrune still uses the f32 buffer).
+        self.build_entry_samples = build_entry_samples
+        self.build_entry_width = build_entry_width
+        if build_iters is None:
+            build_iters = (
+                max(self.l_build // beam_width + 4, 10)
+                if build_entry_width > 0
+                else _resolve_iters(None, self.l_build, beam_width)
+            )
+        self.build_iters = build_iters
+        if pool_dtype not in ('bf16', 'f32'):
+            raise ValueError(f'unknown pool_dtype {pool_dtype!r}')
+        self.pool_dtype = pool_dtype
         # adjacency rows carry S slack columns so back-edges accumulate
         # without pruning; a row is only re-pruned (down to R) once it
         # exceeds W = R + S — cutting overflow prune work ~S-fold.  Export
@@ -101,6 +155,7 @@ class DeviceVamanaBuilder:
         self._adj_host = np.zeros((0, self.w), dtype=np.int32)   # capacity-sized
         self._vecs_dev = None  # [cap, D] f32
         self._adj_dev = None   # [cap, W] i32
+        self._vecs_pool_dev = None  # [cap, D] scoring copy (bf16 or alias)
 
     # ---------------- capacity / device sync ----------------
 
@@ -166,6 +221,9 @@ class DeviceVamanaBuilder:
                 adj, jnp.asarray(ah[: self.n]), (0, 0)
             )
         self._vecs_dev, self._adj_dev = vecs, adj
+        self._vecs_pool_dev = (
+            vecs if self.pool_dtype == 'f32' else _to_bf16(vecs)
+        )
 
     def _push_rows(self, rows: np.ndarray):
         """Push updated adjacency rows (host-authoritative) to the device."""
@@ -182,21 +240,39 @@ class DeviceVamanaBuilder:
 
     # ---------------- pools ----------------
 
-    def _graph_pools(self, x: np.ndarray) -> np.ndarray:
-        """Beam-search pools for the batch against the current graph."""
+    def _build_entry_ids(self) -> np.ndarray:
+        """Evenly-spaced sample of existing node ids for beam seeding
+        (static S so the pools program caches; duplicates at tiny n are
+        harmless)."""
+        s = self.build_entry_samples
+        return (np.arange(s, dtype=np.int64) * self.n // s).astype(np.int32)
+
+    def _graph_pools(self, x: np.ndarray,
+                     entry_width: Optional[int] = None) -> np.ndarray:
+        """Beam-search pools for the batch against the current graph —
+        seeding + beam fused into one program/dispatch per PAD_Q chunk.
+        ``entry_width=0`` forces the medoid seed (reachability repair must
+        route from the REACHABLE graph: a sampled seed could itself sit on
+        the island being repaired)."""
         l = self.l_build
         out = np.empty((len(x), l), dtype=np.int32)
-        iters = _resolve_iters(None, l, self.beam_width)
+        e = self.build_entry_width if entry_width is None else entry_width
+        if e > 0:
+            sids = jnp.asarray(self._build_entry_ids())
+            iters = self.build_iters
+        else:
+            sids = jnp.full((1,), self.medoid, dtype=jnp.int32)
+            # unseeded beams need the full budget to route from the medoid
+            iters = _resolve_iters(None, l, self.beam_width)
         for s in range(0, len(x), PAD_Q):
             chunk = x[s : s + PAD_Q]
             b = _bucket(len(chunk))
             pad = b - len(chunk)
             q = jnp.asarray(np.pad(chunk, ((0, pad), (0, 0))) if pad else chunk)
-            entry = jnp.full((b, 1), self.medoid, dtype=jnp.int32)
-            _, ids = beam_search_vectors_bounded(
-                self._adj_dev, entry, self._vecs_dev, q,
-                jnp.int32(self.n), not self.metric_ip,
-                l, self.beam_width, iters, l,
+            _, ids = _build_pools_call(
+                self._adj_dev, self._vecs_pool_dev, q, sids,
+                jnp.int32(self.n), self.metric_ip,
+                l, self.beam_width, iters, e,
             )
             out[s : s + len(chunk)] = np.asarray(ids[: len(chunk)])
         return out
@@ -245,9 +321,16 @@ class DeviceVamanaBuilder:
         base = self.n
         self._ensure_capacity(p)
         self._vecs_host[base : base + p] = x
+        xd = jnp.asarray(x)
         self._vecs_dev = jax.lax.dynamic_update_slice(
-            self._vecs_dev, jnp.asarray(x), (base, 0)
+            self._vecs_dev, xd, (base, 0)
         )
+        if self.pool_dtype == 'f32':
+            self._vecs_pool_dev = self._vecs_dev
+        else:
+            self._vecs_pool_dev = _update_bf16(
+                self._vecs_pool_dev, xd, base
+            )
         self._sum += x.sum(axis=0, dtype=np.float64)
         t = self._tick('upload', t)
 
@@ -401,7 +484,8 @@ class DeviceVamanaBuilder:
                 return
             for s in range(0, len(bad), self.batch_size):
                 ids = bad[s : s + self.batch_size].astype(np.int32)
-                pools = self._graph_pools(self._vecs_host[ids])
+                pools = self._graph_pools(self._vecs_host[ids],
+                                          entry_width=0)
                 pool = np.concatenate([self._adj_host[ids], pools], axis=1)
                 out = self._device_prune(ids, pool)
                 self._adj_host[ids] = -1
@@ -439,12 +523,28 @@ class DeviceVamanaBuilder:
         self._vecs_dev = jax.lax.dynamic_update_slice(
             jnp.zeros((cap, self.dim), jnp.float32), jnp.asarray(vectors), (0, 0)
         )
+        self._vecs_pool_dev = (
+            self._vecs_dev if self.pool_dtype == 'f32'
+            else _to_bf16(self._vecs_dev)
+        )
         self._adj_dev = jax.lax.dynamic_update_slice(
             jnp.full((cap, self.w), -1, jnp.int32),
             jnp.asarray(self._adj_host[:n]), (0, 0)
         )
         if n:
             self._update_medoid()
+
+
+@jax.jit
+def _to_bf16(vecs):
+    return vecs.astype(jnp.bfloat16)
+
+
+@jax.jit
+def _update_bf16(pool, x, base):
+    return jax.lax.dynamic_update_slice(
+        pool, x.astype(jnp.bfloat16), (base, 0)
+    )
 
 
 @partial(jax.jit, static_argnames=('metric_ip', 'k'))
