@@ -164,6 +164,44 @@ class CellContainer:
                     raise ValueError(f'doc {doc.id} not found in the index')
                 continue
             to_replace.append((i, old_row))
+        # in-place fast path (reference `updatePoint` semantics,
+        # hnswalg.h:958-1096): when the index can rewrite existing rows and
+        # the doc stays in its cell, keep the row — no dead-row growth, no
+        # compaction debt on write-heavy workloads.  A cell move still goes
+        # through dead-mark + append (reference `container.py:323-386`).
+        if to_replace and getattr(self.index, 'supports_inplace_update', False):
+            movable = []
+            inplace = []
+            for i, old_row in to_replace:
+                if int(cells[i]) == int(self._cells[old_row]):
+                    inplace.append((i, old_row))
+                else:
+                    movable.append((i, old_row))
+            to_replace = movable
+            if inplace:
+                sel = np.asarray([i for i, _ in inplace])
+                rows = np.asarray([r for _, r in inplace])
+                sel_docs = [docs[i] for i in sel]
+                tag_rows = [d.tags for d in sel_docs]
+                with self._lock:
+                    self.cell_table.update_columns(
+                        [d.id for d in sel_docs], tag_rows
+                    )
+                    self.index.update_with_ids(
+                        self._project(data[sel]), rows
+                    )
+                    self.meta_table.bulk_add_address(
+                        [d.id for d in sel_docs], cells[sel], rows
+                    )
+                    self._alive[rows] = True
+                    for c in self._col_names:
+                        vals = [t.get(c) for t in tag_rows]
+                        col = self._columns_np[c]
+                        default = '' if col.dtype == object else 0
+                        col[rows] = [
+                            default if v is None else v for v in vals
+                        ]
+                self.doc_store.update(sel_docs)
         if to_replace:
             with self._lock:
                 old_rows = [r for _, r in to_replace]

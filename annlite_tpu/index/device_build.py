@@ -354,6 +354,44 @@ class DeviceVamanaBuilder:
         self._push_rows(np.concatenate([new_ids, touched]))
         self._tick('push', t)
 
+    def update(self, ids: np.ndarray, x: np.ndarray):
+        """In-place point update (hnswlib `updatePoint` parity, mirrored by
+        `native/vamana.cpp vamana_update`): overwrite the stored vectors at
+        ``ids``, then rebuild those rows' out-edges from fresh beam pools
+        (old neighbors included, as insert_point's re-insert path does) and
+        re-wire back-edges at the new location.  Stale in-edges from the
+        old neighborhood remain as valid-but-suboptimal routing edges."""
+        ids = np.ascontiguousarray(ids, dtype=np.int32).reshape(-1)
+        x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, self.dim)
+        if len(ids) == 0:
+            return
+        if ids.min() < 0 or ids.max() >= self.n:
+            raise ValueError('update ids out of range')
+        self._sum += x.sum(axis=0, dtype=np.float64) - self._vecs_host[
+            ids
+        ].sum(axis=0, dtype=np.float64)
+        self._vecs_host[ids] = x
+        xd = jnp.asarray(x)
+        idd = jnp.asarray(ids)
+        self._vecs_dev = self._vecs_dev.at[idd].set(xd)
+        if self.pool_dtype == 'f32':
+            self._vecs_pool_dev = self._vecs_dev
+        else:
+            self._vecs_pool_dev = self._vecs_pool_dev.at[idd].set(
+                xd.astype(jnp.bfloat16)
+            )
+        for s in range(0, len(ids), self.batch_size):
+            sl = slice(s, s + self.batch_size)
+            bi, bx = ids[sl], x[sl]
+            pools = self._graph_pools(bx)
+            pool = np.concatenate([self._adj_host[bi], pools], axis=1)
+            out = self._device_prune(bi, pool)
+            self._adj_host[bi] = -1
+            self._adj_host[bi, : self.r] = out
+            touched = self._apply_back_edges(bi, out)
+            self._push_rows(np.concatenate([bi, touched]))
+        self._update_medoid()
+
     # pairwise/permutation tensors scale as chunk·L² (+ pool_vecs chunk·L·D):
     # cap the chunk so a worst-case overflow prune at 1M rows stays ~2 GB
     PRUNE_CHUNK = 32768
@@ -549,23 +587,44 @@ def _update_bf16(pool, x, base):
 
 @partial(jax.jit, static_argnames=('metric_ip', 'k'))
 def _intra_topk_jit(x, p, metric_ip: bool, k: int):
-    if metric_ip:
-        d = 1.0 - jnp.dot(x, x.T, preferred_element_type=jnp.float32)
-    else:
-        n2 = jnp.sum(x * x, axis=1)
-        d = n2[:, None] + n2[None, :] - 2.0 * jnp.dot(
-            x, x.T, preferred_element_type=jnp.float32
-        )
-    d = d + jnp.eye(x.shape[0], dtype=d.dtype) * 3.4e38  # exclude self
-    # mask pad columns explicitly: a distance-based pad value only works for
-    # L2 (for IP/cosine a pad row can score arbitrarily well), and even for
-    # L2 only when the pad point is far — iota >= live-count is metric-proof
-    pad_col = jnp.arange(x.shape[0], dtype=jnp.int32) >= p
-    d = jnp.where(pad_col[None, :], 3.4e38, d)
-    # approx_min_k fuses into the producing matmul (exact top_k over a
-    # [P, P] resident tensor costs ~10x; pools tolerate approximation)
-    _, idx = jax.lax.approx_min_k(d, k)
-    return idx
+    """Intra-batch approximate kNN, blocked over query tiles.
+
+    The obvious one-shot [P, P] formulation materializes a 1 GB resident
+    f32 matrix at the default batch (16384²) and then runs approx_min_k
+    over it — slow on its own (CLAUDE.md: selection on a RESIDENT array
+    only ~fuses when consumed straight from its producer) and measured
+    with pathological run-to-run variance through the relay (18 s → 358 s
+    for the same build).  Tiling the query axis keeps each [BQ, P] score
+    block consumable directly by its selection, with bf16 inputs / f32
+    accumulation (pool candidates tolerate approximate ranking — the
+    RobustPrune stage re-scores its pool in f32)."""
+    P = x.shape[0]
+    BQ = min(2048, P)
+    xb = x.astype(jnp.bfloat16)
+    n2 = jnp.sum(x * x, axis=1)  # f32
+    pad_col = jnp.arange(P, dtype=jnp.int32) >= p
+    cols = jnp.arange(P, dtype=jnp.int32)
+
+    def block(args):
+        qb, qn2, qidx = args  # [BQ, D] bf16, [BQ] f32, [BQ] i32
+        dots = jnp.dot(qb, xb.T, preferred_element_type=jnp.float32)
+        if metric_ip:
+            d = 1.0 - dots
+        else:
+            d = qn2[:, None] + n2[None, :] - 2.0 * dots
+        # exclude self; mask pad columns explicitly (a distance-based pad
+        # value only works for L2 — iota >= live-count is metric-proof)
+        bad = (qidx[:, None] == cols[None, :]) | pad_col[None, :]
+        d = jnp.where(bad, 3.4e38, d)
+        return jax.lax.approx_min_k(d, k)[1]
+
+    nb = P // BQ
+    idx = jax.lax.map(block, (
+        xb.reshape(nb, BQ, -1),
+        n2.reshape(nb, BQ),
+        cols.reshape(nb, BQ),
+    ))
+    return idx.reshape(P, k)
 
 
 @partial(jax.jit, static_argnames=('r', 'metric_ip'))

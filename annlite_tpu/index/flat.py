@@ -52,6 +52,10 @@ def _flat_search(q, x, norms_sq, mask, k, metric_val, exact):
 
 
 class FlatIndex(BaseIndex):
+    # update_with_ids (= add_with_ids) overwrites rows in place — the
+    # container's update() keeps rows stable instead of dead-mark + append
+    supports_inplace_update = True
+
     def __init__(self, dim: int, metric: Metric = Metric.COSINE, chunk: int = 65536,
                  exact_topk: bool = True, scan_mode: str = 'int8', **kwargs):
         super().__init__(dim=dim, metric=metric, **kwargs)

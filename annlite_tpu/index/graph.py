@@ -166,6 +166,31 @@ class GraphIndex(BaseIndex):
                 self.pq_codec, x, 0.85, "GraphIndex(traverse='pq', rerank=0)"
             )
 
+    # the container's update() uses this to keep rows in place instead of
+    # dead-mark + append (no dead-row growth on write-heavy workloads)
+    supports_inplace_update = True
+
+    def update_with_ids(self, x: np.ndarray, ids: np.ndarray):
+        """In-place point update (reference `updatePoint` /
+        `repairConnectionsForUpdate`, hnswalg.h:958-1096): overwrite the
+        vectors at existing rows and rewire those rows' edges at the new
+        location — the row ids, doc ids, and graph size are unchanged, so
+        write-heavy workloads pay no dead-row growth or compaction."""
+        ids = np.ascontiguousarray(ids, dtype=np.int32).reshape(-1)
+        x = self._prep(x)
+        if len(ids) == 0:
+            return
+        if ids.min() < 0 or ids.max() >= self.size:
+            raise ValueError('update_with_ids requires existing rows; got '
+                             f'{ids.min()}..{ids.max()} at size {self.size}')
+        self._graph.update(ids, x)
+        if self.build_mode == 'device':
+            self._vectors = self._graph.vectors
+        else:
+            self._vectors[ids] = x
+        self._alive[ids] = True
+        self._dirty = True
+
     def delete_rows(self, rows):
         """Soft delete: traversal still ROUTES through dead nodes (their
         distances stay real, like hnswlib's isMarkedDeleted skip,

@@ -72,6 +72,9 @@ def _rerank(query, cand_idx, cand_adc_d, vectors, limit, metric_val):
 
 
 class PQScanIndex(BaseIndex):
+    # update_with_ids (= add_with_ids) re-encodes + overwrites rows in place
+    supports_inplace_update = True
+
     def __init__(
         self,
         dim: int,

@@ -62,6 +62,7 @@ def load_lib():
     lib.vamana_add.argtypes = [ctypes.c_void_p, c_float_p, ctypes.c_int, ctypes.c_int]
     lib.vamana_get_adjacency.argtypes = [ctypes.c_void_p, c_int32_p]
     lib.vamana_load.argtypes = [ctypes.c_void_p, c_float_p, c_int32_p, ctypes.c_int]
+    lib.vamana_update.argtypes = [ctypes.c_void_p, c_int32_p, c_float_p, ctypes.c_int]
     lib.vamana_search.argtypes = [
         ctypes.c_void_p, c_float_p, ctypes.c_int, ctypes.c_int, c_int32_p, c_float_p,
     ]
@@ -112,6 +113,22 @@ class VamanaGraph:
             x.shape[0],
             n_threads,
         )
+
+    def update(self, ids, x):
+        """In-place vector update + rewire (hnswlib `updatePoint` parity):
+        overwrite stored vectors at ``ids``, then re-insert each point."""
+        np = self._np
+        ids = np.ascontiguousarray(ids, dtype=np.int32).reshape(-1)
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        assert x.shape == (len(ids), self.dim)
+        assert len(ids) == 0 or (ids.min() >= 0 and ids.max() < self.size)
+        if len(ids):
+            self.lib.vamana_update(
+                self._h,
+                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                len(ids),
+            )
 
     def adjacency(self):
         np = self._np

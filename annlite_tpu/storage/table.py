@@ -238,6 +238,24 @@ class CellTable(Table):
         self._invalidate()
         return list(range(start, start + len(rows)))
 
+    def update_columns(self, doc_ids: List[str], tag_rows: List[Dict]):
+        """In-place update of user columns (+ ``_time_at``) of ALIVE rows.
+        The row→doc-id mapping is unchanged, so this deliberately does NOT
+        drop the docid cache (uses the connection directly rather than the
+        cache-invalidating executemany)."""
+        cols = [c for c, _ in self._columns]
+        now = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        sets = ''.join(f', {c} = ?' for c in cols)
+        sql = (f'UPDATE {self.name} SET _time_at = ?{sets} '
+               f'WHERE _doc_id = ? AND _alive = 1')
+        with self._lock:
+            self._conn.executemany(sql, [
+                [now] + [_py(t.get(c)) for c in cols] + [d]
+                for d, t in zip(doc_ids, tag_rows)
+            ])
+            self._conn.commit()
+        self._invalidate()
+
     def delete(self, doc_ids: List[str]) -> List[int]:
         """Soft-delete by doc id; returns the affected global rows."""
         rows = []

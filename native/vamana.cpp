@@ -280,6 +280,24 @@ void vamana_add(void* h, const float* x, int n, int n_threads) {
     g.medoid = compute_medoid(g);
 }
 
+// In-place point update (hnswlib `updatePoint` /
+// `repairConnectionsForUpdate` parity, hnswalg.h:958-1096): overwrite the
+// stored vectors, then re-insert each updated point — insert_point rebuilds
+// its out-edges from a fresh greedy-search pool (old neighbors included)
+// and re-wires back-edges at the new location.  Stale in-edges from the old
+// neighborhood are left in place: they are still valid routing edges (their
+// distance is just recomputed on traversal), merely suboptimal, and decay
+// as their owners are themselves updated/pruned.
+void vamana_update(void* h, const int32_t* ids, const float* x, int n) {
+    Graph& g = *(Graph*)h;
+    for (int i = 0; i < n; ++i) {
+        int p = ids[i];
+        std::memcpy(g.data.data() + (size_t)p * g.dim,
+                    x + (size_t)i * g.dim, (size_t)g.dim * sizeof(float));
+    }
+    for (int i = 0; i < n; ++i) insert_point(g, ids[i]);
+}
+
 // Export dense padded adjacency [n, R], pad = -1.
 void vamana_get_adjacency(void* h, int32_t* out) {
     Graph& g = *(Graph*)h;

@@ -333,8 +333,9 @@ def test_facade_device_searcher(tmp_index_path, data):
 
 
 def test_graph_update_moves_doc(tmp_index_path, data):
-    """Facade update on a graph index = soft-delete old row + append new:
-    the old embedding must stop matching, the new one must match."""
+    """Facade update on a graph index rewires the row IN PLACE (round-4,
+    reference updatePoint semantics): no dead row, the old embedding must
+    stop matching, the new one must match."""
     from annlite_tpu import AnnLite
     from annlite_tpu.doc import Doc
 
@@ -346,7 +347,8 @@ def test_graph_update_moves_doc(tmp_index_path, data):
     new_emb = data[n + 50]
     ann.update([Doc(id='d7', embedding=new_emb)])
     idx = ann._container.index
-    assert idx.n_deleted == 1  # old row soft-deleted, not resurrected
+    assert idx.n_deleted == 0  # in-place: row rewired, no dead-row growth
+    assert idx.size == n
     _, ids_new = ann.search_numpy(new_emb[None], limit=3)
     assert ids_new[0][0] == 'd7'
     _, ids_old = ann.search_numpy(data[7][None], limit=3)
@@ -421,3 +423,37 @@ def test_facade_serving_searcher(tmp_index_path, data):
     assert d.shape == (8, 5)
     assert [row[0] for row in ids] == [f'd{i}' for i in range(8)]
     ann.close()
+
+
+@pytest.mark.parametrize('mode', ['host', 'device'])
+def test_inplace_update_rewires(mode):
+    """GraphIndex.update_with_ids (reference updatePoint /
+    repairConnectionsForUpdate, hnswalg.h:958-1096): vectors move to a new
+    neighborhood IN PLACE — same rows, same size — and search finds them
+    at the new location."""
+    rng = np.random.default_rng(0)
+    d = 32
+    a = rng.standard_normal((600, d)).astype(np.float32) + 20.0
+    b = rng.standard_normal((600, d)).astype(np.float32) - 20.0
+    x = np.concatenate([a, b])
+    g = GraphIndex(dim=d, metric=Metric.EUCLIDEAN, max_degree=16,
+                   l_build=32, ef_search=64, build_mode=mode)
+    g.add_with_ids(x, np.arange(len(x)))
+    n0 = g.size
+
+    # move rows 0..9 from cluster A into cluster B (near b[k])
+    moved = np.arange(10)
+    newv = (b[:10] + 0.01 * rng.standard_normal((10, d))).astype(np.float32)
+    g.update_with_ids(newv, moved)
+    assert g.size == n0  # no dead-row growth
+
+    dists, ids = g.search(newv, limit=5)
+    for i in range(10):
+        assert ids[i][0] == i, (i, ids[i])       # found at the SAME row
+    # old location no longer matches rows 0..9
+    dists_a, ids_a = g.search(x[:10], limit=5)
+    for i in range(10):
+        assert ids_a[i][0] != i
+    # graph remains fully reachable after the rewire
+    rep = g.check_integrity()
+    assert rep['reachable_fraction'] > 0.99, rep

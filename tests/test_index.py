@@ -326,3 +326,38 @@ def test_device_searcher_masks_deleted(tmp_index_path, rng):
     _, rows = run(jnp.asarray(x[1:2]))
     assert 1 not in np.asarray(rows)[0]
     ann.close()
+
+
+@pytest.mark.parametrize('index_type', ['flat', 'graph'])
+def test_update_inplace_no_dead_rows(tmp_path, index_type):
+    """AnnLite.update keeps rows IN PLACE for indexes that support it
+    (reference updatePoint semantics): the table does not grow, the new
+    embedding + tags serve immediately, filtered search sees new tags."""
+    rng = np.random.default_rng(2)
+    d, n = 16, 400
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    ann = AnnLite(n_dim=d, metric='euclidean', index_type=index_type,
+                  data_path=str(tmp_path / 'u'), columns=[('grp', int)])
+    ann.index([Doc(id=f'd{i}', embedding=x[i], tags={'grp': 0})
+               for i in range(n)])
+    tbl = ann._container.cell_table
+    rows_before = tbl.query_all(f'SELECT COUNT(*) FROM {tbl.name}')[0][0]
+
+    # move 5 docs to a far location with a new tag
+    newv = (x[100:105] + 50.0).astype(np.float32)
+    ann.update([Doc(id=f'd{i + 100}', embedding=newv[i], tags={'grp': 7})
+                for i in range(5)])
+
+    rows_after = tbl.query_all(f'SELECT COUNT(*) FROM {tbl.name}')[0][0]
+    assert rows_after == rows_before          # no dead-mark + append growth
+    assert ann.total_docs == n
+
+    _, ids = ann.search_numpy(newv, limit=3)
+    assert [r[0] for r in ids] == [f'd{i + 100}' for i in range(5)]
+    _, fids = ann.search_numpy(newv[:1], limit=5,
+                               filter={'grp': {'$eq': 7}})
+    assert set(fids[0]) <= {f'd{i + 100}' for i in range(5)}
+    got = ann.get_doc_by_id('d100')
+    assert got.tags['grp'] == 7
+    np.testing.assert_allclose(got.embedding, newv[0], rtol=1e-6)
+    ann.close()
