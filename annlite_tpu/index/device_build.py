@@ -54,9 +54,26 @@ def _bucket(n: int) -> int:
     return b
 
 
-@jax.jit
+# the builder's capacity buffers are updated functionally every batch;
+# WITHOUT donation each update copies the whole buffer (512 MB vecs +
+# 192 MB adjacency at 1M×128) — ~60 GB of pure copy traffic per 1M build,
+# measured as the 'upload'/'push' stages' wall.  Donation makes them
+# in-place; the builder always reassigns the attribute immediately, so no
+# live reference outlives the donated value (GraphIndex re-fetches via
+# device_arrays() after any mutation because _dirty is set).
+@partial(jax.jit, donate_argnums=(0,))
 def _scatter_rows(adj, rows, vals):
     return adj.at[rows].set(vals)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _upd_slice(buf, x, base):
+    return jax.lax.dynamic_update_slice(buf, x.astype(buf.dtype), (base, 0))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_vec_rows(buf, rows, x):
+    return buf.at[rows].set(x.astype(buf.dtype))
 
 
 @partial(jax.jit, static_argnames=('metric_ip', 'L', 'B', 'iters', 'E'))
@@ -322,15 +339,11 @@ class DeviceVamanaBuilder:
         self._ensure_capacity(p)
         self._vecs_host[base : base + p] = x
         xd = jnp.asarray(x)
-        self._vecs_dev = jax.lax.dynamic_update_slice(
-            self._vecs_dev, xd, (base, 0)
-        )
+        self._vecs_dev = _upd_slice(self._vecs_dev, xd, base)
         if self.pool_dtype == 'f32':
             self._vecs_pool_dev = self._vecs_dev
         else:
-            self._vecs_pool_dev = _update_bf16(
-                self._vecs_pool_dev, xd, base
-            )
+            self._vecs_pool_dev = _upd_slice(self._vecs_pool_dev, xd, base)
         self._sum += x.sum(axis=0, dtype=np.float64)
         t = self._tick('upload', t)
 
@@ -373,12 +386,12 @@ class DeviceVamanaBuilder:
         self._vecs_host[ids] = x
         xd = jnp.asarray(x)
         idd = jnp.asarray(ids)
-        self._vecs_dev = self._vecs_dev.at[idd].set(xd)
+        self._vecs_dev = _scatter_vec_rows(self._vecs_dev, idd, xd)
         if self.pool_dtype == 'f32':
             self._vecs_pool_dev = self._vecs_dev
         else:
-            self._vecs_pool_dev = self._vecs_pool_dev.at[idd].set(
-                xd.astype(jnp.bfloat16)
+            self._vecs_pool_dev = _scatter_vec_rows(
+                self._vecs_pool_dev, idd, xd
             )
         for s in range(0, len(ids), self.batch_size):
             sl = slice(s, s + self.batch_size)
@@ -576,13 +589,6 @@ class DeviceVamanaBuilder:
 @jax.jit
 def _to_bf16(vecs):
     return vecs.astype(jnp.bfloat16)
-
-
-@jax.jit
-def _update_bf16(pool, x, base):
-    return jax.lax.dynamic_update_slice(
-        pool, x.astype(jnp.bfloat16), (base, 0)
-    )
 
 
 @partial(jax.jit, static_argnames=('metric_ip', 'k'))

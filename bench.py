@@ -816,7 +816,7 @@ def ph_graph():
     # cache the built adjacency keyed by the corpus BYTES (not just shape:
     # a stale cache must not silently pair an old graph with a new corpus)
     ck = hashlib.sha1(gx[:64].tobytes()
-                      + f'{GN}-{D2}-R32-L64-v2'.encode()).hexdigest()[:16]
+                      + f'{GN}-{D2}-R32-L64-v3'.encode()).hexdigest()[:16]
     CACHE_DIR.mkdir(parents=True, exist_ok=True)
     gcache = CACHE_DIR / f'graph_{ck}.npz'
     if gcache.exists():
@@ -940,7 +940,7 @@ def ph_graph_packed():
     gx = _graph_corpus(GN)
     exact_l2 = _exact_l2_fn()
     ck = hashlib.sha1(gx[:64].tobytes()
-                      + f'{GN}-{D2}-R32-L64-v2'.encode()).hexdigest()[:16]
+                      + f'{GN}-{D2}-R32-L64-v3'.encode()).hexdigest()[:16]
     gcache = CACHE_DIR / f'graph_{ck}.npz'
     if gcache.exists():
         raw_w = np.load(gcache)['raw_w']
