@@ -686,7 +686,8 @@ def _ivf_substeps(jax, jnp, pq, xs_np, centers_np, rng, exact_l2, carry0):
     SP = max(len(s) for s in sels)
     sels = [jnp.asarray(np.pad(s, (0, SP - len(s)), constant_values=-1))
             for s in sels]
-    scanned_frac = SP * ivf._store.bs / N
+    scanned_frac = min(1.0, SP * ivf._store.bs / N)  # tiny smoke corpora
+                                                     # can over-pad blocks
     vecs_dev = ivf._vectors.device_view()  # bf16 rows for the rerank
 
     @jax.jit
