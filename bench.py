@@ -211,6 +211,11 @@ def parent_main(opts):
     if opts.full:
         phases += [('variants', 200, True), ('graph_packed', 240, True),
                    ('facade_ivf', 300, True)]
+    only = os.environ.get('BENCH_PHASES')
+    if only:  # debug/test hook: run exactly these phases, in this order
+        budgets = {n: b for n, b, _ in phases}
+        phases = [(n, budgets.get(n, 30), False)
+                  for n in only.split(',') if n in PHASES]
 
     scale = max(1.0, HARD_BUDGET / 560.0)
     relay_ok = True
@@ -368,6 +373,12 @@ def _exact_l2_fn():
 # =========================================================================
 # phases (each runs in its own subprocess)
 # =========================================================================
+
+def ph_sleep():
+    """Test-only phase (BENCH_PHASES hook): wedges for 300 s so the
+    harness tests can exercise the parent's kill-and-continue path."""
+    time.sleep(300)
+
 
 def ph_probe():
     import jax
@@ -1079,6 +1090,7 @@ def ph_facade_ivf():
 
 
 PHASES = {
+    '_sleep': ph_sleep,
     'probe': ph_probe,
     'micro': ph_micro,
     'flat': ph_flat,
