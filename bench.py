@@ -245,7 +245,10 @@ def parent_main(opts):
                 rem = HARD_BUDGET - (time.monotonic() - T0) - 15
                 if rem > 90:
                     log('probing relay health after kill…')
-                    relay_ok = _probe_relay()
+                    # degraded-but-alive probes measured 74-114 s; declaring
+                    # a slow relay wedged skips phases that might still land
+                    relay_ok = _probe_relay(
+                        timeout_s=min(130, max(75, rem - 60)))
                     _merge_kv({'relay_probe_after_kill': relay_ok})
                     log(f'relay probe: {"ok" if relay_ok else "WEDGED"}')
                 else:
@@ -423,30 +426,39 @@ def ph_micro():
         return d, i, d[0, 0]
 
     carry0 = jnp.float32(0.0)
-    # warm + wall-clock a 10-chain for the fallback number
-    _ = np.asarray(srch(qs[0], x8, xs, x, mask, carry0)[-1])
-    wall0 = time.perf_counter()
-    carry = carry0
-    for i in range(10):
-        carry = srch(qs[i % len(qs)], x8, xs, x, mask, carry)[-1]
-    _ = np.asarray(carry)
-    wall = time.perf_counter() - wall0  # includes tunnel dispatch overhead
-
-    t = chain_time(srch, lambda i: (qs[i % len(qs)], x8, xs, x, mask),
-                   carry0, reps=(2, 10), trials=2)
     label = f'qps_{N0//1024}k_{D}d_batch64_flat_cosine_top10'
     # baseline scaled linearly from the reference's 100k row
     # (0.649 s / 64 queries, README.md:347)
     base = 64 / 0.649 / (N0 / 100_000)
-    if t > 0:
+
+    # warm + wall-clock a short chain, and EMIT the fallback headline
+    # IMMEDIATELY: on a degraded relay every dispatch costs seconds, so
+    # the r04 rehearsal saw micro killed at 150 s with nothing shipped —
+    # a lower-bound number within ~8 dispatches beats a 0.0 record
+    _ = np.asarray(srch(qs[0], x8, xs, x, mask, carry0)[-1])
+    wall0 = time.perf_counter()
+    carry = carry0
+    WK = 6
+    for i in range(WK):
+        carry = srch(qs[i % len(qs)], x8, xs, x, mask, carry)[-1]
+    _ = np.asarray(carry)
+    wall = time.perf_counter() - wall0  # includes tunnel dispatch overhead
+    qps_wall = Q * WK / wall            # lower bound (round-trips included)
+    kv(micro_flat_batch64_qps=round(qps_wall, 1),
+       micro_method='wall-clock lower bound',
+       micro_first_value_s=round(time.monotonic() - t_start, 1))
+    headline(label, round(qps_wall, 1), round(qps_wall / base, 1),
+             priority=1)
+
+    # refine with the chain slope (cancels the round-trip cost); overwrite
+    # the fallback only when the slope is clean
+    t = chain_time(srch, lambda i: (qs[i % len(qs)], x8, xs, x, mask),
+                   carry0, reps=(2, 8), trials=2)
+    if t > 0 and Q / t > qps_wall:
         qps = Q / t
         kv(micro_flat_batch64_qps=round(qps, 1),
            micro_method='chain-slope')
-    else:
-        qps = Q * 10 / wall  # lower bound: wall includes round-trips
-        kv(micro_flat_batch64_qps=round(qps, 1),
-           micro_method='wall-clock lower bound (slope noise)')
-    headline(label, round(qps, 1), round(qps / base, 1), priority=1)
+        headline(label, round(qps, 1), round(qps / base, 1), priority=1)
     kv(micro_elapsed_s=round(time.monotonic() - t_start, 1))
 
 
