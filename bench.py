@@ -677,27 +677,51 @@ def _ivf_substeps(jax, jnp, pq, xs_np, centers_np, rng, exact_l2, carry0):
 
     # clustered corpus (1024 cells), n_probe=8: the scalar-prefetch kernel
     # scans ONLY probed-cell blocks (ops/ivf.py), the TPU equivalent of the
-    # reference's per-cell probing (annlite/container.py:88-144)
-    log('building IVF-PQ 1M (clustered corpus, 1024 cells)')
-    labels_1m = rng.integers(0, centers_np.shape[0], N)
+    # reference's per-cell probing (annlite/container.py:88-144).  The
+    # built blocked store (codes + row map + bf16 rerank rows) is cached
+    # under /tmp so a warm driver run skips the 1M encode+ingest — the
+    # pqivf phase's long pole (rehearsal: 218 s of which ~150 s was this).
     ivf = IVFPQIndex(dim=D2, pq_codec=pq, rerank=100)
-    xs_parts = []
-    CH = 131_072
-    for lo in range(0, N, CH):
-        hi = min(lo + CH, N)
-        chunk = (centers_np[labels_1m[lo:hi]]
-                 + rng.normal(size=(hi - lo, D2))).astype(np.float32)
-        ivf.add_with_ids(chunk, np.arange(lo, hi), cells=labels_1m[lo:hi])
-        xs_parts.append(jnp.asarray(chunk))
-    xs_dev = jnp.concatenate(xs_parts)
-    del xs_parts
+    ck = hashlib.sha1(centers_np[:4].tobytes()
+                      + f'{N}-{D2}-ivf-v1'.encode()).hexdigest()[:16]
+    cpath = CACHE_DIR / f'ivf1m_{ck}.npz'
+    if cpath.exists():
+        log('IVF-PQ 1M: reusing cached blocked store')
+        with np.load(cpath, allow_pickle=False) as z:
+            state = {k: z[k] for k in z.files}
+        ivf.load_state_arrays(state)
+        # GT corpus from the cached rows (bf16-rounded — self-consistent
+        # with the index's own rerank vectors)
+        xs_dev = jnp.asarray(state['vectors'])
+        kv(ivf_build_cached=True)
+    else:
+        log('building IVF-PQ 1M (clustered corpus, 1024 cells)')
+        labels_1m = rng.integers(0, centers_np.shape[0], N)
+        xs_parts = []
+        CH = 131_072
+        for lo in range(0, N, CH):
+            hi = min(lo + CH, N)
+            chunk = (centers_np[labels_1m[lo:hi]]
+                     + rng.normal(size=(hi - lo, D2))).astype(np.float32)
+            ivf.add_with_ids(chunk, np.arange(lo, hi), cells=labels_1m[lo:hi])
+            xs_parts.append(jnp.asarray(chunk))
+        xs_dev = jnp.concatenate(xs_parts)
+        del xs_parts
+        try:
+            np.savez(cpath, **ivf.state_arrays())
+        except Exception as e:  # noqa: BLE001
+            log(f'IVF cache dump failed: {e!r}')
+        kv(ivf_build_cached=False)
     cb, mb, rm = ivf._store.device_arrays()
 
     # batch=8, n_probe=8: per-batch probed-cell union, ADC scan of the
-    # probed blocks only, exact rerank of the top-100 -> top-10
+    # probed blocks only, exact rerank of the top-100 -> top-10.
+    # queries come from a FRESH rng so cached and fresh builds measure the
+    # identical query set (the build loop consumes draws from `rng`)
     n_probe, QB = 8, 8
-    ql = rng.integers(0, centers_np.shape[0], Q)
-    qv2 = (centers_np[ql] + rng.normal(size=(Q, D2))).astype(np.float32)
+    rng_q = np.random.default_rng(4242)
+    ql = rng_q.integers(0, centers_np.shape[0], Q)
+    qv2 = (centers_np[ql] + rng_q.normal(size=(Q, D2))).astype(np.float32)
     d2c = ((qv2[:, None, :] - centers_np[None]) ** 2).sum(-1)  # [Q, 1024]
     probed = np.argsort(d2c, axis=1)[:, :n_probe]
     sels, dts_ivf, qbs = [], [], []
