@@ -201,8 +201,10 @@ def parent_main(opts):
     CACHE_DIR.mkdir(parents=True, exist_ok=True)
 
     phases = [
-        # (name, budget_s, needs_full)
-        ('micro', 150, False),
+        # (name, budget_s, needs_full) — micro gets headroom: on a degraded
+        # relay jax init + 2 compiles + a few dispatches measured 130 s
+        # before the first value (rehearsal 3); its own work is ~5 s
+        ('micro', 200, False),
         ('flat', 260, False),
         ('pqivf', 230, False),
         ('facade', 120, False),
@@ -255,6 +257,18 @@ def parent_main(opts):
                     relay_ok = False
         else:
             log(f'phase {name}: ok in {el:.1f}s')
+        emit()
+
+    # last-resort retry: if nothing landed (micro killed AND the probe said
+    # wedged), the relay may have recovered while later phases were being
+    # skipped — one more micro attempt is all that can still save the record
+    with _LOCK:
+        empty = RESULT['value'] == 0.0
+    rem = HARD_BUDGET - (time.monotonic() - T0) - 15
+    if empty and rem > 120:
+        log('=== retry phase micro (record still empty) ===')
+        status, el = _spawn_phase('micro', min(200, rem))
+        _merge_kv({'stage_elapsed_s': {'micro_retry': round(el, 1)}})
         emit()
 
     # attach side evidence (realistic-dataset sweep + CPU-mesh scaling
