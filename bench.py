@@ -259,16 +259,24 @@ def parent_main(opts):
             log(f'phase {name}: ok in {el:.1f}s')
         emit()
 
-    # last-resort retry: if nothing landed (micro killed AND the probe said
-    # wedged), the relay may have recovered while later phases were being
-    # skipped — one more micro attempt is all that can still save the record
+    # second pass: relay degradation is transient (rehearsal 4: micro was
+    # killed at 200 s, yet a retry 3 minutes later landed a value in 37 s)
+    # — re-attempt every killed/skipped phase, cheapest-headline first,
+    # with whatever budget remains
     with _LOCK:
-        empty = RESULT['value'] == 0.0
-    rem = HARD_BUDGET - (time.monotonic() - T0) - 15
-    if empty and rem > 120:
-        log('=== retry phase micro (record still empty) ===')
-        status, el = _spawn_phase('micro', min(200, rem))
-        _merge_kv({'stage_elapsed_s': {'micro_retry': round(el, 1)}})
+        missed = (set(RESULT['extras'].get('skipped_stages', []))
+                  | set(RESULT['extras'].get('stage_errors', {})))
+    budgets = {n: b for n, b, _ in phases}
+    for name in [n for n, _, _ in phases if n in missed]:
+        rem = HARD_BUDGET - (time.monotonic() - T0) - 15
+        if rem < 75:
+            break
+        log(f'=== retry phase {name} ===')
+        status, el = _spawn_phase(name, min(budgets.get(name, 150), rem),
+                                  full=opts.full)
+        _merge_kv({'stage_elapsed_s': {f'{name}_retry': round(el, 1)}})
+        if status != 'ok':
+            _merge_kv({'stage_errors': {f'{name}_retry': status}})
         emit()
 
     # attach side evidence (realistic-dataset sweep + CPU-mesh scaling
@@ -402,7 +410,7 @@ def ph_probe():
     import jax.numpy as jnp
 
     x = (jnp.ones((8, 128)) @ jnp.ones((128, 8))).sum()
-    assert float(x) == 1024.0
+    assert float(x) == 8192.0  # 64 elements x 128
     log('probe ok')
 
 

@@ -31,3 +31,14 @@ def test_wedged_phase_is_killed_and_headline_survives(tmp_path):
     # and the micro headline survived
     assert rec['value'] > 0, rec
     assert 'micro' in rec['extras']['stage_elapsed_s']
+
+
+def test_probe_phase_succeeds():
+    """The relay-health probe must pass on a healthy backend — a probe
+    that always fails silently turns every post-kill decision into
+    'wedged, skip everything' (r04 bug: asserted the wrong matmul sum)."""
+    rc = subprocess.run(
+        [sys.executable, str(ROOT / 'bench.py'), '--phase', 'probe'],
+        timeout=120, capture_output=True,
+    ).returncode
+    assert rc == 0
