@@ -1,8 +1,8 @@
 #!/usr/bin/env bash
 # Warm bench.py end-to-end before the driver's timed run: raised budgets so
-# no stage is watchdog-killed (a killed in-flight TPU call wedges the relay
-# for subsequent processes — CLAUDE.md round-3 findings), writing the
-# /tmp compile cache + /tmp graph-stage adjacency cache along the way.
+# phases are not killed early, populating the /tmp caches along the way
+# (jax compile cache, PQ codebooks, 1M IVF blocked store, graph adjacency).
+# A later driver-budget run then spends its wall on timings, not setup.
 #
 # Usage: ./scripts/warm_bench.sh   (run ONE at a time; probe first)
 set -e
