@@ -457,3 +457,14 @@ def test_inplace_update_rewires(mode):
     # graph remains fully reachable after the rewire
     rep = g.check_integrity()
     assert rep['reachable_fraction'] > 0.99, rep
+
+
+def test_build_iters_passthrough():
+    """GraphIndex(build_iters=...) reaches the device builder (incl. after
+    reset) — the 1M build-speed knob (496 s at iters=8 vs 572 s default)."""
+    g = GraphIndex(8, build_mode='device', build_iters=8)
+    assert g._graph.build_iters == 8
+    g.reset()
+    assert g._graph.build_iters == 8
+    g2 = GraphIndex(8, build_mode='device')
+    assert g2._graph.build_iters == 10  # default: max(L/B + 4, 10)
