@@ -277,6 +277,11 @@ def parent_main(opts):
         _merge_kv({'stage_elapsed_s': {f'{name}_retry': round(el, 1)}})
         if status != 'ok':
             _merge_kv({'stage_errors': {f'{name}_retry': status}})
+        else:
+            with _LOCK:  # retried successfully — no longer "skipped"
+                sk = RESULT['extras'].get('skipped_stages')
+                if sk and name in sk:
+                    sk.remove(name)
         emit()
 
     # attach side evidence (realistic-dataset sweep + CPU-mesh scaling
