@@ -195,7 +195,31 @@ class GraphIndex(BaseIndex):
         else:
             self._vectors[ids] = x
         self._alive[ids] = True
-        self._dirty = True
+        if (not self._dirty and self.build_mode == 'device'
+                and self.traverse != 'packed'):
+            # the device builder's buffers are already current (update
+            # pushed vectors + rewired adjacency rows) — patch the serving
+            # state incrementally instead of triggering the full O(N)
+            # re-encode/re-sync a dirty flag would cost on next search
+            self._patch_device_after_update(ids, x)
+        else:
+            self._dirty = True
+
+    def _patch_device_after_update(self, ids: np.ndarray, x: np.ndarray):
+        dev_vecs, self._dev_adj = self._graph.device_arrays()
+        if self._dev_vectors is not None:
+            dt = self._dev_vectors.dtype
+            self._dev_vectors = (
+                dev_vecs if dt == dev_vecs.dtype else dev_vecs.astype(dt)
+            )
+        if self._dev_codes is not None:
+            codes = self.pq_codec.encode(x)
+            self._dev_codes = self._dev_codes.at[
+                jnp.asarray(ids)
+            ].set(jnp.asarray(codes))
+        if self._entry_vecs is not None and self._dev_vectors is not None:
+            # an updated row may be one of the sampled beam seeds
+            self._entry_vecs = self._dev_vectors[self._entry_ids]
 
     def delete_rows(self, rows):
         """Soft delete: traversal still ROUTES through dead nodes (their

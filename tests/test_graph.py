@@ -468,3 +468,39 @@ def test_build_iters_passthrough():
     assert g._graph.build_iters == 8
     g2 = GraphIndex(8, build_mode='device')
     assert g2._graph.build_iters == 10  # default: max(L/B + 4, 10)
+
+
+def test_inplace_update_incremental_sync():
+    """Device-mode in-place updates patch the serving state without a full
+    resync: after a search (synced state), an update must leave _dirty
+    False and still serve the moved vectors identically to a fully
+    resynced index."""
+    rng = np.random.default_rng(1)
+    d = 32
+    x = np.concatenate([
+        rng.standard_normal((500, d)).astype(np.float32) + 15,
+        rng.standard_normal((500, d)).astype(np.float32) - 15,
+    ])
+    pq = PQCodec(dim=d, n_subvectors=8, n_clusters=32,
+                 metric=Metric.EUCLIDEAN, n_init=1)
+    pq.fit(x, iter=10)
+    g = GraphIndex(dim=d, metric=Metric.EUCLIDEAN, max_degree=16,
+                   l_build=32, ef_search=64, build_mode='device',
+                   pq_codec=pq, rerank=32)
+    g.add_with_ids(x, np.arange(len(x)))
+    g.search(x[:2], limit=3)          # forces a full sync
+    assert not g._dirty
+
+    moved = np.arange(5)
+    newv = (x[900:905] + 0.01 * rng.standard_normal((5, d))).astype(np.float32)
+    g.update_with_ids(newv, moved)
+    assert not g._dirty               # incremental patch, no full resync
+    d1, ids1 = g.search(newv, limit=5)
+    for i in range(5):
+        assert ids1[i][0] == i
+
+    # identical to a force-resynced view of the same index
+    g._dirty = True
+    d2, ids2 = g.search(newv, limit=5)
+    np.testing.assert_array_equal(ids1, ids2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
