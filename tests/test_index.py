@@ -361,3 +361,38 @@ def test_update_inplace_no_dead_rows(tmp_path, index_type):
     assert got.tags['grp'] == 7
     np.testing.assert_allclose(got.embedding, newv[0], rtol=1e-6)
     ann.close()
+
+
+def test_update_cell_move_falls_back_to_append(tmp_path):
+    """When a doc's embedding moves to a different VQ cell, update must
+    dead-mark + append (the reference's move semantics,
+    `annlite/container.py:323-386`) — the in-place fast path only covers
+    same-cell updates."""
+    rng = np.random.default_rng(6)
+    d = 16
+    a = rng.standard_normal((200, d)).astype(np.float32) + 10
+    b = rng.standard_normal((200, d)).astype(np.float32) - 10
+    x = np.concatenate([a, b])
+    ann = AnnLite(n_dim=d, metric='euclidean', n_cells=2, index_type='flat',
+                  data_path=str(tmp_path / 'c'))
+    ann.train(x)
+    ann.index([Doc(id=f'd{i}', embedding=x[i]) for i in range(400)])
+    tbl = ann._container.cell_table
+    rows_before = tbl.query_all(f'SELECT COUNT(*) FROM {tbl.name}')[0][0]
+    old_cell = int(ann._container._cells[tbl.get_row_by_docid('d0')])
+
+    # move d0 (cluster A) to cluster B -> different VQ cell
+    newv = (b[0] + 0.01).astype(np.float32)
+    ann.update([Doc(id='d0', embedding=newv)])
+    new_row = tbl.get_row_by_docid('d0')
+    new_cell = int(ann._container._cells[new_row])
+    assert new_cell != old_cell
+    rows_after = tbl.query_all(f'SELECT COUNT(*) FROM {tbl.name}')[0][0]
+    assert rows_after == rows_before + 1   # dead row + appended row
+
+    _, ids = ann.search_numpy(newv[None], limit=3)
+    assert ids[0][0] == 'd0'
+    # same-cell update stays in place (no further growth)
+    ann.update([Doc(id='d0', embedding=(newv + 0.001).astype(np.float32))])
+    assert tbl.query_all(f'SELECT COUNT(*) FROM {tbl.name}')[0][0] == rows_after
+    ann.close()
