@@ -156,6 +156,10 @@ class GraphIndex(BaseIndex):
                 f'{ids[:3]} at size {self.size}'
             )
         x = self._prep(x)
+        can_patch = (
+            not self._dirty and self.build_mode == 'device'
+            and self.traverse != 'packed' and self._dev_adj is not None
+        )
         if self.build_mode == 'device':
             self._graph.add(x)
             self._vectors = self._graph.vectors  # builder owns the host copy
@@ -163,7 +167,13 @@ class GraphIndex(BaseIndex):
             self._graph.add(x, n_threads=self.n_threads)
             self._vectors = np.concatenate([self._vectors, x])
         self._alive = np.concatenate([self._alive, np.ones(len(ids), bool)])
-        self._dirty = True
+        if can_patch:
+            # streaming ingest on a synced device-mode index: only the new
+            # rows are encoded (a dirty flag would re-encode ALL codes at
+            # next search — O(N) per batch, quadratic over an ingest run)
+            self._patch_device_after_append(x)
+        else:
+            self._dirty = True
         if self._recall_guard_pending and x.shape[0] >= 512:
             from .pq_scan import _warn_if_low_raw_recall
 
@@ -220,6 +230,29 @@ class GraphIndex(BaseIndex):
         if self._entry_vecs is not None and self._dev_vectors is not None:
             # an updated row may be one of the sampled beam seeds
             self._entry_vecs = self._dev_vectors[self._entry_ids]
+
+    def _patch_device_after_append(self, x: np.ndarray):
+        dev_vecs, self._dev_adj = self._graph.device_arrays()
+        if self._dev_vectors is not None:
+            dt = self._dev_vectors.dtype
+            self._dev_vectors = (
+                dev_vecs if dt == dev_vecs.dtype else dev_vecs.astype(dt)
+            )
+        if self._dev_codes is not None:
+            self._dev_codes = jnp.concatenate([
+                self._dev_codes, jnp.asarray(self.pq_codec.encode(x))
+            ])
+        if self.entry_mode == 'sample' and self.size and not self._pq_traverse():
+            s = min(self.n_entry_samples, self.size)
+            ids = (np.arange(s, dtype=np.int64) * self.size // s).astype(
+                np.int32
+            )
+            self._entry_ids = jnp.asarray(ids)
+            self._entry_vecs = (
+                self._dev_vectors[self._entry_ids]
+                if self._dev_vectors is not None
+                else jnp.asarray(self._vectors[ids])
+            )
 
     def delete_rows(self, rows):
         """Soft delete: traversal still ROUTES through dead nodes (their

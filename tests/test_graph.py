@@ -504,3 +504,32 @@ def test_inplace_update_incremental_sync():
     d2, ids2 = g.search(newv, limit=5)
     np.testing.assert_array_equal(ids1, ids2)
     np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_append_incremental_sync():
+    """Device-mode appends on a synced index patch the serving state
+    incrementally (only the new rows are PQ-encoded) and serve results
+    identical to a force-resynced index."""
+    rng = np.random.default_rng(4)
+    d = 32
+    x = rng.standard_normal((1500, d)).astype(np.float32)
+    pq = PQCodec(dim=d, n_subvectors=8, n_clusters=32,
+                 metric=Metric.EUCLIDEAN, n_init=1)
+    pq.fit(x, iter=10)
+    g = GraphIndex(dim=d, metric=Metric.EUCLIDEAN, max_degree=16,
+                   l_build=32, ef_search=64, build_mode='device',
+                   pq_codec=pq, rerank=32)
+    g.add_with_ids(x[:1000], np.arange(1000))
+    g.search(x[:2], limit=3)          # full sync
+    assert not g._dirty
+
+    g.add_with_ids(x[1000:], np.arange(1000, 1500))
+    assert not g._dirty               # incremental append patch
+    assert g._dev_codes.shape[0] == 1500
+    d1, ids1 = g.search(x[1200:1205], limit=5)
+    assert all(ids1[i][0] == 1200 + i for i in range(5))
+
+    g._dirty = True                   # force the full resync for comparison
+    d2, ids2 = g.search(x[1200:1205], limit=5)
+    np.testing.assert_array_equal(ids1, ids2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
