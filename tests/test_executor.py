@@ -433,3 +433,50 @@ def test_cli_config_file_merge(tmp_path, monkeypatch):
 
     with pytest.raises(SystemExit):
         cli.main([])  # n_dim missing everywhere
+
+
+def test_http_update_endpoint_inplace(tmp_path, rng):
+    """HTTP /update round-trip: the new embedding + tags serve immediately
+    and (flat index, single cell) the row count stays flat — the container's
+    in-place update path reached through the full serving stack."""
+    import json
+    import urllib.request
+
+    port = 18473
+    ex = AnnLiteIndexer(n_dim=D, data_path=str(tmp_path / 'updsrv'),
+                        columns=[('i', int)])
+    server = Server(ex, port=port).start()
+    try:
+        base = f'http://127.0.0.1:{port}'
+
+        def post(ep, payload):
+            req = urllib.request.Request(
+                base + ep, data=json.dumps(payload).encode(),
+                headers={'Content-Type': 'application/json'},
+            )
+            return json.loads(urllib.request.urlopen(req, timeout=30).read())
+
+        docs = [
+            {'id': f'doc{i}', 'embedding': rng.standard_normal(D).tolist(),
+             'tags': {'i': i}}
+            for i in range(20)
+        ]
+        post('/index', {'docs': docs})
+        ex.flush()
+        tbl = ex._index._container.cell_table
+        rows_before = tbl.query_all(f'SELECT COUNT(*) FROM {tbl.name}')[0][0]
+
+        moved = {'id': 'doc3',
+                 'embedding': (rng.standard_normal(D) + 9).tolist(),
+                 'tags': {'i': 333}}
+        post('/update', {'docs': [moved]})
+        rows_after = tbl.query_all(f'SELECT COUNT(*) FROM {tbl.name}')[0][0]
+        assert rows_after == rows_before  # in-place: no dead-row growth
+
+        r = post('/search', {'docs': [moved], 'parameters': {'limit': 3}})
+        assert r['results'][0]['matches'][0]['id'] == 'doc3'
+        r = post('/filter', {'parameters': {'filter': {'i': {'$eq': 333}},
+                                            'limit': 5}})
+        assert {d['id'] for d in r['docs']} == {'doc3'}
+    finally:
+        server.stop()
