@@ -51,6 +51,7 @@ class AnnLite:
         columns: Optional[List[Tuple[str, type]]] = None,
         filterable_attrs: Optional[Dict[str, type]] = None,
         data_path: Union[str, Path] = './data',
+        create_if_missing: bool = True,
         read_only: bool = False,
         verbose: bool = False,
         exact_topk: bool = False,
@@ -100,7 +101,14 @@ class AnnLite:
         self._columns = columns or []
 
         self.data_path = Path(data_path)
-        self.data_path.mkdir(parents=True, exist_ok=True)
+        if create_if_missing:
+            self.data_path.mkdir(parents=True, exist_ok=True)
+        elif not self.data_path.exists():
+            # reference `index.py:106-109` only mkdirs when create_if_missing
+            raise FileNotFoundError(
+                f'data_path {self.data_path} does not exist and '
+                f'create_if_missing=False'
+            )
 
         # effective dim the index/PQ operate in
         self.index_dim = n_components if n_components else n_dim

@@ -396,3 +396,17 @@ def test_update_cell_move_falls_back_to_append(tmp_path):
     ann.update([Doc(id='d0', embedding=(newv + 0.001).astype(np.float32))])
     assert tbl.query_all(f'SELECT COUNT(*) FROM {tbl.name}')[0][0] == rows_after
     ann.close()
+
+
+def test_create_if_missing_false(tmp_path):
+    """Reference ctor parity (`annlite/index.py:73,106-109`):
+    create_if_missing=False on a fresh path must refuse instead of
+    silently creating the workspace."""
+    with pytest.raises(FileNotFoundError):
+        AnnLite(n_dim=8, data_path=str(tmp_path / 'nope'),
+                create_if_missing=False)
+    # existing path opens fine
+    (tmp_path / 'yes').mkdir()
+    ann = AnnLite(n_dim=8, data_path=str(tmp_path / 'yes'),
+                  create_if_missing=False)
+    ann.close()
