@@ -361,7 +361,7 @@ class DeviceVamanaBuilder:
         self.n = base + p
         self._adj_host[new_ids, : self.r] = out
 
-        touched = self._apply_back_edges(new_ids, out)
+        touched = self._apply_back_edges(new_ids, out, fresh_from=base)
         t = self._tick('backedges', t)
         self._update_medoid()
         self._push_rows(np.concatenate([new_ids, touched]))
@@ -432,23 +432,39 @@ class DeviceVamanaBuilder:
         return np.asarray(out)[:p]
 
     def _apply_back_edges(self, new_ids: np.ndarray, out: np.ndarray,
-                          check_fresh: bool = False) -> np.ndarray:
+                          check_fresh: bool = False,
+                          fresh_from: Optional[int] = None) -> np.ndarray:
         """Insert reverse edges p→v into each v's list; re-prune rows that
         overflow (reference back-edge path: `hnswalg.h:571-619` /
         `native/vamana.cpp`).  Returns the modified rows.
 
-        ``check_fresh`` drops edges already present — needed only on
-        re-insert paths (repair, in-place update); fresh inserts can't be
-        pointed at yet, and the check gathers a [E, W] slab (~0.15 s/batch
-        of host time at the 1M build's default batch)."""
+        Duplicate-edge ("already present") checks: ``check_fresh`` checks
+        every target — needed on re-insert paths (repair, in-place update).
+        Fresh inserts only need ``fresh_from=base``: PRE-batch targets
+        cannot point at a brand-new row, but BATCH-MATE targets can (their
+        just-written out-edges came from the same intra-batch pools, so
+        mutual kNN pairs would otherwise double-insert and waste slack
+        slots); checking only the >= base subset keeps the [E, W] gather
+        proportional to batch-mate edges."""
         r = self.r
         src = np.repeat(new_ids, r)
         dst = out.reshape(-1)
         keep = dst >= 0
         src, dst = src[keep], dst[keep]
-        if check_fresh and len(dst):
-            fresh = ~(self._adj_host[dst] == src[:, None]).any(axis=1)
-            src, dst = src[fresh], dst[fresh]
+        if len(dst):
+            if check_fresh:
+                fresh = ~(self._adj_host[dst] == src[:, None]).any(axis=1)
+                src, dst = src[fresh], dst[fresh]
+            elif fresh_from is not None:
+                bm = dst >= fresh_from
+                if bm.any():
+                    dup = (self._adj_host[dst[bm]]
+                           == src[bm][:, None]).any(axis=1)
+                    drop = np.flatnonzero(bm)[dup]
+                    if len(drop):
+                        keep2 = np.ones(len(dst), dtype=bool)
+                        keep2[drop] = False
+                        src, dst = src[keep2], dst[keep2]
         if len(dst) == 0:
             return np.empty(0, dtype=np.int64)
         order = np.argsort(dst, kind='stable')
