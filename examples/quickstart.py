@@ -2,6 +2,7 @@
 
 Run:  python examples/quickstart.py
 """
+import shutil
 import sys
 from pathlib import Path
 
@@ -11,6 +12,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from annlite_tpu import AnnLite
 from annlite_tpu.doc import Doc
+
+# start from a clean workspace so the example is re-runnable (the later
+# reopen demonstrates persistence within THIS run)
+shutil.rmtree('/tmp/annlite_quickstart', ignore_errors=True)
 
 N, D = 10_000, 128
 
