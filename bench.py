@@ -16,10 +16,14 @@ because a single wedged/over-budget stage killed the whole process):
     runs each phase as a killable SUBPROCESS, streams the child's
     incremental results, SIGKILLs a phase that exceeds its budget, and
     carries on with the next phase — an abort costs one phase, not the run;
-  * phase 0 is a MICRO headline: 8k rows, two tiny programs, <=20 chained
-    dispatches, with a wall-clock fallback when the chain slope is noisy —
-    a real (honestly labeled) number lands within seconds even on a
-    degraded relay; the 1M flat phase overwrites it when it completes;
+  * the flat phase opens with a MICRO headline: 8k rows, two tiny
+    programs, <=20 chained dispatches, with a wall-clock fallback when the
+    chain slope is noisy — a real (honestly labeled) number lands within
+    seconds of the first child's jax init even on a degraded relay; the 1M
+    flat measurement overwrites it when it completes;
+  * the final stdout line is COMPACT (< 1500 chars, priority-whitelisted
+    extras) because the driver parses the LAST line of a 2000-char output
+    tail; the full enriched record is written to bench_full.json;
   * after killing a phase the parent probes relay health with a trivial
     device op (a killed in-flight TPU call can wedge the relay for new
     processes — see CLAUDE.md); if the probe hangs, remaining TPU phases
@@ -84,11 +88,72 @@ _LOCK = threading.Lock()
 _HL_PRIORITY = [0]  # headline priority currently held (micro=1 < flat=2)
 _CHILD = {'proc': None}
 
+# The driver reads a 2000-char tail of the output and parses the LAST line
+# (BENCH_r04: a final line that grew past 2000 chars with dataset/scaling
+# extras left `parsed: null` — the round's 46k QPS headline was invisible).
+# So the stdout line is COMPACT: headline + extras admitted one at a time in
+# priority order while the serialized line stays under MAX_LINE.  The full
+# enriched record (datasets sweep, scaling block, every kv) goes to
+# bench_full.json — a file, never stdout, so it can't displace the record.
+MAX_LINE = 1500
+FULL_PATH = Path(__file__).resolve().parent / 'bench_full.json'
+_EXTRA_PRIORITY = [
+    'baseline_qps',
+    'flat_batch64_latency_ms', 'flat_recall_at_10_vs_exact',
+    'facade_serving_qps',
+    'graph_131k_128d_device_build_s',
+    'graph_131k_128d_ef128_batch64_qps',
+    'graph_131k_128d_ef128_recall_at_10',
+    'adc_pq64_1M_batch64_qps', 'adc_pq64_rerank100_recall_at_10',
+    'ivfpq_1M_batch8_probe8_rerank100_qps',
+    'ivfpq_1M_probe8_rerank100_recall_at_10',
+    'ivfpq_scanned_fraction',
+    'flat_filtered_5pct_batch64_latency_ms',
+    'flat_filtered_80pct_batch64_latency_ms',
+    'flat_batch1_latency_ms',
+    'micro_flat_batch64_qps',
+    'facade_ingest_docs_per_s',
+    'ds_sift1m_pq64_rerank100_recall_at_10', 'ds_sift1m_pq64_rerank100_qps',
+    'ds_glove_graph_ef128_recall_at_10', 'ds_glove_graph_ef128_qps',
+    'ds_glove_ivf_spherical_recall_at_10', 'ds_glove_ivf_scanned_fraction',
+    'scaling_strong_4shard_fixed_flops_eff',
+    'scaling_strong_8shard_fixed_flops_eff',
+    'graph_1M_128d_device_build_s_recorded',
+    'stage_errors', 'skipped_stages',
+    'killed_by_signal', 'relay_probe_after_kill', 'stage_elapsed_s',
+    'elapsed_s', 'baseline_recall', 'full_record',
+]
+
+
+def _compact_record():
+    """Headline + whitelisted extras, provably under MAX_LINE chars."""
+    with _LOCK:
+        full = json.loads(json.dumps(RESULT))
+    rec = {'metric': full['metric'], 'value': full['value'],
+           'unit': full['unit'], 'vs_baseline': full['vs_baseline'],
+           'extras': {}}
+    src = dict(full['extras'])
+    src['full_record'] = FULL_PATH.name
+    if 'stage_errors' in src:  # reprs can be long — keep the gist
+        src['stage_errors'] = {k: str(v)[:48]
+                               for k, v in src['stage_errors'].items()}
+    for k in _EXTRA_PRIORITY:
+        if k not in src:
+            continue
+        trial = dict(rec)
+        trial['extras'] = dict(rec['extras'], **{k: src[k]})
+        if len(json.dumps(trial)) <= MAX_LINE:
+            rec = trial
+    return rec, full
+
 
 def emit():
-    with _LOCK:
-        line = json.dumps(RESULT)
-    print(line, flush=True)
+    rec, full = _compact_record()
+    try:
+        FULL_PATH.write_text(json.dumps(full, indent=1))
+    except OSError as e:
+        log(f'full-record write failed: {e!r}')
+    print(json.dumps(rec), flush=True)
 
 
 def _merge_kv(kv):
@@ -201,11 +266,11 @@ def parent_main(opts):
     CACHE_DIR.mkdir(parents=True, exist_ok=True)
 
     phases = [
-        # (name, budget_s, needs_full) — micro gets headroom: on a degraded
-        # relay jax init + 2 compiles + a few dispatches measured 130 s
-        # before the first value (rehearsal 3); its own work is ~5 s
-        ('micro', 200, False),
-        ('flat', 260, False),
+        # (name, budget_s, needs_full) — flat runs the micro insurance steps
+        # first (one child jax init instead of two; on a degraded relay init
+        # + 2 compiles + a few dispatches measured 130 s before the first
+        # value, so flat gets that headroom on top of its own ~150 s)
+        ('flat', 340, False),
         ('pqivf', 230, False),
         ('facade', 120, False),
         ('graph', 180, False),
@@ -216,6 +281,7 @@ def parent_main(opts):
     only = os.environ.get('BENCH_PHASES')
     if only:  # debug/test hook: run exactly these phases, in this order
         budgets = {n: b for n, b, _ in phases}
+        budgets.setdefault('micro', 200)
         phases = [(n, budgets.get(n, 30), False)
                   for n in only.split(',') if n in PHASES]
 
@@ -285,11 +351,50 @@ def parent_main(opts):
         emit()
 
     # attach side evidence (realistic-dataset sweep + CPU-mesh scaling
-    # efficiencies) so it survives the round in BENCH_r*.json
+    # efficiencies) — full blobs go to bench_full.json; a few distilled
+    # scalars make the compact stdout line
     _attach_json('benchmarks/results_datasets.json', 'datasets')
     _attach_json('benchmarks/results_scaling.json', 'scaling')
+    _distill_attachments()
     _merge_kv({'elapsed_s': round(time.monotonic() - T0, 1)})
     emit()
+
+
+def _distill_attachments():
+    """Pick headline scalars out of the attached side-evidence blobs."""
+    with _LOCK:
+        ds = RESULT['extras'].get('datasets') or {}
+        sc = RESULT['extras'].get('scaling') or {}
+    out = {}
+    for name, row in ds.items():
+        if not isinstance(row, dict):
+            continue
+        if row.get('dataset') == 'sift1m':
+            m = row.get('m')
+            for k_src, k_dst in ((f'pq{m}_rerank100_recall_at_10',
+                                  'ds_sift1m_pq64_rerank100_recall_at_10'),
+                                 (f'pq{m}_rerank100_qps',
+                                  'ds_sift1m_pq64_rerank100_qps')):
+                if k_src in row:
+                    out[k_dst] = row[k_src]
+        if row.get('dataset') == 'glove':
+            ef = (row.get('graph_ef_sweep') or {}).get('128')
+            if ef:
+                out['ds_glove_graph_ef128_recall_at_10'] = ef['recall_at_10']
+                out['ds_glove_graph_ef128_qps'] = ef['qps']
+            sph = row.get('ivf_spherical')
+            if isinstance(sph, dict):
+                out['ds_glove_ivf_spherical_recall_at_10'] = \
+                    sph.get('recall_at_10')
+                out['ds_glove_ivf_scanned_fraction'] = \
+                    sph.get('scanned_fraction')
+    rows = (sc.get('strong') or {}).get('rows') or {}
+    for n in ('4', '8'):
+        if n in rows and 'fixed_flops_efficiency' in rows[n]:
+            out[f'scaling_strong_{n}shard_fixed_flops_eff'] = \
+                rows[n]['fixed_flops_efficiency']
+    if out:
+        _merge_kv(out)
 
 
 # =========================================================================
@@ -420,13 +525,20 @@ def ph_probe():
 
 
 def ph_micro():
-    """Insurance headline: an 8k-corpus flat scan that compiles+times in
-    seconds even on a degraded relay (25 MB corpus, 2 tiny programs, <=20
-    chained dispatches), honestly labeled with its own corpus size.  The 1M
-    flat phase overwrites it (higher priority) when it completes."""
+    """Standalone micro phase (retry-pass / debug hook).  The default phase
+    list runs the micro steps INSIDE the flat child (one jax init instead of
+    two — rehearsal 4 paid 123 s of child startup for micro alone)."""
     jax = _setup_jax()
     import jax.numpy as jnp
 
+    _micro_body(jax, jnp)
+
+
+def _micro_body(jax, jnp):
+    """Insurance headline: an 8k-corpus flat scan that compiles+times in
+    seconds even on a degraded relay (25 MB corpus, 2 tiny programs, <=20
+    chained dispatches), honestly labeled with its own corpus size.  The 1M
+    flat measurement overwrites it (higher priority) when it completes."""
     from annlite_tpu.enums import Metric
     from annlite_tpu.ops.scan import quantize_rows_int8_jax, scan_topk
 
@@ -495,6 +607,15 @@ def ph_flat():
 
     from annlite_tpu.enums import Metric
     from annlite_tpu.ops.scan import quantize_rows_int8_jax, scan_topk
+
+    # micro insurance FIRST: a headline lands within a handful of dispatches
+    # of jax init, so even if the 1M corpus below wedges and this child is
+    # killed, the round records a real number (r03 failure mode)
+    @substep('micro_insurance')
+    def _mi():
+        _micro_body(jax, jnp)
+
+    _mi()
 
     key = jax.random.PRNGKey(0)
     kx, kq, kc = jax.random.split(key, 3)
