@@ -58,9 +58,13 @@ def _bucket(n: int) -> int:
 # WITHOUT donation each update copies the whole buffer (512 MB vecs +
 # 192 MB adjacency at 1M×128) — ~60 GB of pure copy traffic per 1M build,
 # measured as the 'upload'/'push' stages' wall.  Donation makes them
-# in-place; the builder always reassigns the attribute immediately, so no
-# live reference outlives the donated value (GraphIndex re-fetches via
-# device_arrays() after any mutation because _dirty is set).
+# in-place — but deletes the argument buffer, so it is only safe while no
+# external reference can hold it.  ``device_arrays()`` hands the buffers to
+# serving (GraphIndex caches them; device_searcher closures capture them);
+# after that escape the builder routes ONE round of mutations through the
+# non-donating twins below (fresh result buffers that nothing external
+# references), then resumes donating.  Escaped holders see stale-but-alive
+# data — never a deleted-buffer RuntimeError.
 @partial(jax.jit, donate_argnums=(0,))
 def _scatter_rows(adj, rows, vals):
     return adj.at[rows].set(vals)
@@ -73,6 +77,21 @@ def _upd_slice(buf, x, base):
 
 @partial(jax.jit, donate_argnums=(0,))
 def _scatter_vec_rows(buf, rows, x):
+    return buf.at[rows].set(x.astype(buf.dtype))
+
+
+@jax.jit
+def _scatter_rows_nd(adj, rows, vals):
+    return adj.at[rows].set(vals)
+
+
+@jax.jit
+def _upd_slice_nd(buf, x, base):
+    return jax.lax.dynamic_update_slice(buf, x.astype(buf.dtype), (base, 0))
+
+
+@jax.jit
+def _scatter_vec_rows_nd(buf, rows, x):
     return buf.at[rows].set(x.astype(buf.dtype))
 
 
@@ -173,6 +192,10 @@ class DeviceVamanaBuilder:
         self._vecs_dev = None  # [cap, D] f32
         self._adj_dev = None   # [cap, W] i32
         self._vecs_pool_dev = None  # [cap, D] scoring copy (bf16 or alias)
+        # True once device_arrays() handed the buffers out; while set,
+        # mutations must not donate (an external holder would see a deleted
+        # jax Array).  Cleared when every buffer has been freshly rebuilt.
+        self._escaped = False
 
     # ---------------- capacity / device sync ----------------
 
@@ -215,7 +238,13 @@ class DeviceVamanaBuilder:
 
     def device_arrays(self):
         """(vectors [cap, D], adjacency [cap, W]) device buffers; rows >= n
-        are padding (adjacency pad -1, so never routed into)."""
+        are padding (adjacency pad -1, so never routed into).
+
+        Marks the buffers as escaped: the next mutation round goes through
+        non-donating updates so a holder (GraphIndex cache, device_searcher
+        closure, concurrent executor search) keeps a live — if stale —
+        buffer instead of crashing on a donated one."""
+        self._escaped = True
         return self._vecs_dev, self._adj_dev
 
     def _ensure_capacity(self, n_new: int):
@@ -250,7 +279,8 @@ class DeviceVamanaBuilder:
         k = _bucket(len(rows))
         if k != len(rows):  # pad with duplicate writes of the first row
             rows = np.concatenate([rows, np.full(k - len(rows), rows[0])])
-        self._adj_dev = _scatter_rows(
+        scatter = _scatter_rows_nd if self._escaped else _scatter_rows
+        self._adj_dev = scatter(
             self._adj_dev, jnp.asarray(rows.astype(np.int32)),
             jnp.asarray(self._adj_host[rows]),
         )
@@ -339,11 +369,12 @@ class DeviceVamanaBuilder:
         self._ensure_capacity(p)
         self._vecs_host[base : base + p] = x
         xd = jnp.asarray(x)
-        self._vecs_dev = _upd_slice(self._vecs_dev, xd, base)
+        upd = _upd_slice_nd if self._escaped else _upd_slice
+        self._vecs_dev = upd(self._vecs_dev, xd, base)
         if self.pool_dtype == 'f32':
             self._vecs_pool_dev = self._vecs_dev
         else:
-            self._vecs_pool_dev = _upd_slice(self._vecs_pool_dev, xd, base)
+            self._vecs_pool_dev = upd(self._vecs_pool_dev, xd, base)
         self._sum += x.sum(axis=0, dtype=np.float64)
         t = self._tick('upload', t)
 
@@ -366,6 +397,10 @@ class DeviceVamanaBuilder:
         self._update_medoid()
         self._push_rows(np.concatenate([new_ids, touched]))
         self._tick('push', t)
+        # vecs, pool copy, and adjacency were all rebuilt above — any
+        # escaped holder now points at detached (but live) old buffers,
+        # so donation is safe again
+        self._escaped = False
 
     def update(self, ids: np.ndarray, x: np.ndarray):
         """In-place point update (hnswlib `updatePoint` parity, mirrored by
@@ -380,17 +415,25 @@ class DeviceVamanaBuilder:
             return
         if ids.min() < 0 or ids.max() >= self.n:
             raise ValueError('update ids out of range')
+        # dedup (last occurrence wins, matching the container's by-id
+        # semantics): duplicate ids would otherwise subtract the same old
+        # row from the running centroid sum once per occurrence
+        if len(np.unique(ids)) != len(ids):
+            _, last = np.unique(ids[::-1], return_index=True)
+            keep = np.sort(len(ids) - 1 - last)
+            ids, x = ids[keep], x[keep]
         self._sum += x.sum(axis=0, dtype=np.float64) - self._vecs_host[
             ids
         ].sum(axis=0, dtype=np.float64)
         self._vecs_host[ids] = x
         xd = jnp.asarray(x)
         idd = jnp.asarray(ids)
-        self._vecs_dev = _scatter_vec_rows(self._vecs_dev, idd, xd)
+        scatter = _scatter_vec_rows_nd if self._escaped else _scatter_vec_rows
+        self._vecs_dev = scatter(self._vecs_dev, idd, xd)
         if self.pool_dtype == 'f32':
             self._vecs_pool_dev = self._vecs_dev
         else:
-            self._vecs_pool_dev = _scatter_vec_rows(
+            self._vecs_pool_dev = scatter(
                 self._vecs_pool_dev, idd, xd
             )
         for s in range(0, len(ids), self.batch_size):
@@ -404,6 +447,7 @@ class DeviceVamanaBuilder:
             touched = self._apply_back_edges(bi, out, check_fresh=True)
             self._push_rows(np.concatenate([bi, touched]))
         self._update_medoid()
+        self._escaped = False  # all three buffers rebuilt above
 
     # pairwise/permutation tensors scale as chunk·L² (+ pool_vecs chunk·L·D):
     # cap the chunk so a worst-case overflow prune at 1M rows stays ~2 GB

@@ -129,6 +129,7 @@ class GraphIndex(BaseIndex):
         self._recall_guard_pending = (
             pq_codec is not None and rerank == 0 and traverse == 'pq'
         )
+        self._guard_rows: list = []  # sample accumulated across batches
 
     @property
     def size(self) -> int:
@@ -174,13 +175,21 @@ class GraphIndex(BaseIndex):
             self._patch_device_after_append(x)
         else:
             self._dirty = True
-        if self._recall_guard_pending and x.shape[0] >= 512:
-            from .pq_scan import _warn_if_low_raw_recall
+        if self._recall_guard_pending:
+            # accumulate across batches: streaming ingests of small batches
+            # are exactly the workloads that would otherwise never trip the
+            # one-shot >=512-row check
+            self._guard_rows.append(x[:2048])
+            if sum(len(r) for r in self._guard_rows) >= 512:
+                from .pq_scan import _warn_if_low_raw_recall
 
-            self._recall_guard_pending = False
-            _warn_if_low_raw_recall(
-                self.pq_codec, x, 0.85, "GraphIndex(traverse='pq', rerank=0)"
-            )
+                sample = np.concatenate(self._guard_rows)[:2048]
+                self._recall_guard_pending = False
+                self._guard_rows = []
+                _warn_if_low_raw_recall(
+                    self.pq_codec, sample, 0.85,
+                    "GraphIndex(traverse='pq', rerank=0)",
+                )
 
     # the container's update() uses this to keep rows in place instead of
     # dead-mark + append (no dead-row growth on write-heavy workloads)

@@ -102,6 +102,7 @@ class PQScanIndex(BaseIndex):
         self.recall_guard = recall_guard and rerank == 0
         self.recall_floor = recall_floor
         self._guard_done = False
+        self._guard_rows: list = []  # sample accumulated across batches
         # u8/u16/u32 per the codec's n_clusters (reference PQ_Space<CODETYPE>,
         # `include/hnswlib/space_pq.h:15-37`) — the ADC kernels widen codes
         # to int32 in-kernel, so only the storage dtype varies
@@ -137,10 +138,17 @@ class PQScanIndex(BaseIndex):
         self._codes_t.write(np.asarray(ids), codes.T)
         if self._vectors is not None:
             self._vectors.write(np.asarray(ids), x.astype(self._vectors.dtype))
-        if self.recall_guard and not self._guard_done and x.shape[0] >= 512:
-            self._guard_done = True
-            _warn_if_low_raw_recall(self.pq_codec, x, self.recall_floor,
-                                    'PQScanIndex(rerank=0)')
+        if self.recall_guard and not self._guard_done:
+            # accumulate across batches so streaming small-batch ingests
+            # still trip the guard once 512 rows have been seen
+            self._guard_rows.append(x[:2048])
+            if sum(len(r) for r in self._guard_rows) >= 512:
+                self._guard_done = True
+                sample = np.concatenate(self._guard_rows)[:2048]
+                self._guard_rows = []
+                _warn_if_low_raw_recall(self.pq_codec, sample,
+                                        self.recall_floor,
+                                        'PQScanIndex(rerank=0)')
 
     def search(self, query: np.ndarray, limit: int = 10, mask: Optional[np.ndarray] = None):
         query = self._prep(query)

@@ -30,12 +30,27 @@ def _resolve_lib_path() -> Path:
     if pkg_src.exists():  # installed wheel without a prebuilt .so
         cxx = shutil.which('g++') or shutil.which('c++')
         if cxx:
-            subprocess.run(
-                [cxx, '-O3', '-march=native', '-std=c++17', '-fPIC',
-                 '-pthread', '-shared', str(pkg_src), '-o', str(pkg_so)],
-                check=True, capture_output=True,
-            )
-            return pkg_so
+            # site-packages may be read-only; fall back to a per-user cache
+            # keyed by source mtime so a source update triggers a rebuild
+            targets = [pkg_so]
+            cache = Path(os.environ.get(
+                'XDG_CACHE_HOME', Path.home() / '.cache')) / 'annlite_tpu'
+            targets.append(
+                cache / f'libvamana_{int(pkg_src.stat().st_mtime)}.so')
+            for target in targets:
+                if target.exists():
+                    return target
+                try:
+                    target.parent.mkdir(parents=True, exist_ok=True)
+                    subprocess.run(
+                        [cxx, '-O3', '-march=native', '-std=c++17', '-fPIC',
+                         '-pthread', '-shared', str(pkg_src),
+                         '-o', str(target)],
+                        check=True, capture_output=True,
+                    )
+                    return target
+                except (OSError, subprocess.CalledProcessError):
+                    continue  # unwritable location — try the next one
     repo_so = _REPO_NATIVE_DIR / 'libvamana.so'
     if not repo_so.exists():
         subprocess.run(['make', '-C', str(_REPO_NATIVE_DIR)], check=True,

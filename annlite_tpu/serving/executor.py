@@ -212,20 +212,26 @@ class AnnLiteIndexer:
         flt = match_args.get('filter', None)
         limit = int(match_args.get('limit', self.limit))
         include_metadata = bool(match_args.get('include_metadata', True))
-        return self._index.search(
-            docs, filter=flt, limit=limit, include_metadata=include_metadata
-        )
+        # under the threaded HTTP server a search concurrent with
+        # update()/ingest could otherwise dispatch against an index whose
+        # device buffers are being rebuilt (donated) mid-mutation
+        with self._index_lock:
+            return self._index.search(
+                docs, filter=flt, limit=limit,
+                include_metadata=include_metadata,
+            )
 
     def filter(self, parameters: Dict = None, **kw) -> List[Doc]:
         parameters = parameters or {}
-        return self._index.filter(
-            filter=parameters.get('filter', None),
-            limit=int(parameters.get('limit', self.limit)),
-            offset=int(parameters.get('offset', 0)),
-            order_by=parameters.get('order_by', None),
-            ascending=bool(parameters.get('ascending', True)),
-            include_metadata=bool(parameters.get('include_metadata', True)),
-        )
+        with self._index_lock:
+            return self._index.filter(
+                filter=parameters.get('filter', None),
+                limit=int(parameters.get('limit', self.limit)),
+                offset=int(parameters.get('offset', 0)),
+                order_by=parameters.get('order_by', None),
+                ascending=bool(parameters.get('ascending', True)),
+                include_metadata=bool(parameters.get('include_metadata', True)),
+            )
 
     def fill_embedding(self, docs: Optional[List[Doc]] = None, **kw):
         """Retrieve stored embeddings for the given doc ids

@@ -7,6 +7,7 @@ builds pybind11 + Cython extensions); here there is a single C++17 file and
 no Python C API surface, so a plain ``g++ -shared`` is sufficient and keeps
 the wheel ABI-independent of the CPython version.
 """
+import os
 import shutil
 import subprocess
 from pathlib import Path
@@ -31,7 +32,12 @@ class BuildWithNative(build_py):
             print('warning: no C++ compiler found — libvamana.so will be '
                   'built on demand at import time if a compiler is present')
             return
-        cmd = [cxx, '-O3', '-march=native', '-std=c++17', '-fPIC',
+        # wheels can travel to other machines: default to the portable
+        # x86-64-v2 baseline (a -march=native .so SIGILLs on an older CPU
+        # with no rebuild trigger, since the .so exists); local installs
+        # can opt back in with ANNLITE_TPU_MARCH=native
+        march = os.environ.get('ANNLITE_TPU_MARCH', 'x86-64-v2')
+        cmd = [cxx, '-O3', f'-march={march}', '-std=c++17', '-fPIC',
                '-pthread', '-shared', str(src), '-o', str(out)]
         print('building native lib:', ' '.join(cmd))
         subprocess.run(cmd, check=True)

@@ -202,3 +202,51 @@ def test_builder_cosine_partial_batches(rng):
         [len(set(exact[i]) & set(ids[i].tolist())) / 10 for i in range(16)]
     )
     assert rec > 0.8, f'cosine recall {rec}'
+
+
+def test_escaped_device_arrays_survive_mutation(clustered):
+    """ADVICE r4 (medium): donated-buffer crash. device_arrays() hands the
+    builder's buffers to serving (GraphIndex caches them; device_searcher
+    closures capture them); a later add()/update() used to donate those
+    exact buffers, so the holder's next dispatch hit a deleted jax Array.
+    Escaped buffers must stay alive (stale is fine)."""
+    x = clustered
+    b = DeviceVamanaBuilder(D, max_degree=16, l_build=32, batch_size=1024)
+    b.add(x[:1500])
+    assert not b._escaped
+    vecs0, adj0 = b.device_arrays()
+    # CPU ignores donation, so the deleted-buffer crash only reproduces on
+    # TPU — assert the escape bookkeeping directly as well
+    assert b._escaped
+    v_snap = np.asarray(vecs0[:4])
+
+    b.add(x[1500:2000])               # streaming append after escape
+    assert not b._escaped             # all buffers rebuilt → donation safe
+    np.testing.assert_array_equal(np.asarray(vecs0[:4]), v_snap)  # alive
+    assert np.asarray(adj0).shape[1] == b.w                        # alive
+
+    vecs1, adj1 = b.device_arrays()   # escape again, then in-place update
+    b.update(np.arange(8, dtype=np.int32), x[2000:2008])
+    _ = np.asarray(vecs1[:4]), np.asarray(adj1[:4])                # alive
+
+    # and the builder itself still serves correct fresh state
+    fresh, _ = b.device_arrays()
+    np.testing.assert_allclose(np.asarray(fresh[:8]), x[2000:2008],
+                               rtol=1e-6)
+
+
+def test_update_duplicate_ids_last_wins(clustered):
+    """ADVICE r4: duplicate ids in one update() double-subtracted the old
+    row from the running centroid sum."""
+    x = clustered
+    b = DeviceVamanaBuilder(D, max_degree=16, l_build=32, batch_size=1024)
+    b.add(x[:1000])
+    ids = np.array([3, 7, 3], dtype=np.int32)   # 3 appears twice
+    new = x[1000:1003]
+    b.update(ids, new)
+    # last occurrence wins for row 3
+    np.testing.assert_allclose(b.vectors[3], new[2], rtol=1e-6)
+    np.testing.assert_allclose(b.vectors[7], new[1], rtol=1e-6)
+    # running sum matches the authoritative vectors exactly
+    np.testing.assert_allclose(b._sum, b.vectors.sum(axis=0, dtype=np.float64),
+                               rtol=1e-5)

@@ -227,3 +227,26 @@ def test_recall_floor_guard_rerank0():
     with warnings.catch_warnings():
         warnings.simplefilter('error', RuntimeWarning)
         idx3.add_with_ids(iso, np.arange(len(iso)))
+
+
+def test_recall_floor_guard_streaming_small_batches():
+    """ADVICE r4: the guard used to require one >=512-row add(), so
+    streaming ingests of small batches never tripped it.  The sample now
+    accumulates across batches."""
+    import pytest
+
+    from annlite_tpu.codecs import PQCodec
+    from annlite_tpu.index.pq_scan import PQScanIndex
+
+    rng = np.random.default_rng(1)
+    d, m, k = 64, 32, 64
+    iso = rng.standard_normal((1024, d)).astype(np.float32)
+    pq = PQCodec(dim=d, n_subvectors=m, n_clusters=k, n_init=1,
+                 metric='euclidean')
+    pq.fit(iso, iter=8)
+    idx = PQScanIndex(dim=d, pq_codec=pq, rerank=0)
+    with pytest.warns(RuntimeWarning, match='raw-PQ recall'):
+        for lo in range(0, 1024, 128):   # 8 batches of 128 rows
+            idx.add_with_ids(iso[lo:lo + 128],
+                             np.arange(lo, lo + 128))
+    assert idx._guard_done
