@@ -23,6 +23,8 @@ class BaseIndex(abc.ABC):
         self.dtype = np.dtype(dtype)
         self.initial_size = initial_size or expand_step_size
         self.expand_step_size = expand_step_size
+        if isinstance(expand_mode, str):
+            expand_mode = ExpandMode.from_string(expand_mode)
         self.expand_mode = expand_mode
 
     @property

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..enums import ExpandMode
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -45,13 +47,25 @@ class DeviceBuffer:
         grow_axis: int = 0,
         chunk: int = 65536,
         initial_capacity: int = 0,
+        expand_mode: 'ExpandMode' = None,
+        expand_step: int = 10240,
     ):
         assert grow_axis in (0, 1)
         self.fixed_shape = tuple(fixed_shape)  # shape of non-growing axes
         self.dtype = np.dtype(dtype)
         self.grow_axis = grow_axis
         self.chunk = chunk
-        self.capacity = max(initial_capacity, chunk)
+        self.expand_mode = (
+            expand_mode if expand_mode is not None else ExpandMode.ADAPTIVE
+        )
+        self.expand_step = int(expand_step)
+        # STEP/DOUBLE honor an explicit initial capacity exactly (reference
+        # base.py:23 `initial_size or expand_step_size`); ADAPTIVE keeps
+        # chunk-quantized shapes so jit programs bucket
+        if self.expand_mode is ExpandMode.ADAPTIVE:
+            self.capacity = max(initial_capacity, chunk)
+        else:
+            self.capacity = max(initial_capacity or self.expand_step, 1)
         self.size = 0
         self._host = np.zeros(self._shape(self.capacity), dtype=self.dtype)
         self._device: Optional[jax.Array] = None
@@ -68,7 +82,19 @@ class DeviceBuffer:
     def ensure_capacity(self, n: int):
         if n <= self.capacity:
             return
-        new_cap = _round_up(max(n, self.capacity * 2), self.chunk)
+        if self.expand_mode is ExpandMode.STEP:
+            # reference flat_index.py:52-58: capacity grows by fixed
+            # expand_step_size blocks (predictable memory, more reallocs —
+            # and on TPU more compiled program shapes)
+            new_cap = self.capacity + _round_up(
+                n - self.capacity, self.expand_step)
+        elif self.expand_mode is ExpandMode.DOUBLE:
+            new_cap = max(self.capacity, 1)
+            while new_cap < n:
+                new_cap *= 2
+        else:  # ADAPTIVE (default): double, chunk-quantized — amortized
+            # O(1) copies AND O(log n) distinct jit shapes
+            new_cap = _round_up(max(n, self.capacity * 2), self.chunk)
         new = np.zeros(self._shape(new_cap), dtype=self.dtype)
         if self.grow_axis == 0:
             new[: self.capacity] = self._host

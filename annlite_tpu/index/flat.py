@@ -65,18 +65,19 @@ class FlatIndex(BaseIndex):
             raise ValueError('int4 scan_mode requires an even dim')
         self.exact_topk = exact_topk
         self.scan_mode = scan_mode
-        self._buf = DeviceBuffer((dim,), np.float32, grow_axis=0, chunk=chunk)
-        self._norms = DeviceBuffer((), np.float32, grow_axis=0, chunk=chunk)
+        # growth policy flows from BaseIndex (reference base.py:29-57 knobs:
+        # initial_size / expand_step_size / expand_mode)
+        grow = dict(grow_axis=0, chunk=chunk, expand_mode=self.expand_mode,
+                    expand_step=self.expand_step_size,
+                    initial_capacity=self.initial_size)
+        self._buf = DeviceBuffer((dim,), np.float32, **grow)
+        self._norms = DeviceBuffer((), np.float32, **grow)
         if scan_mode in ('int8', 'int4'):
             store_dim = dim if scan_mode == 'int8' else dim // 2
-            self._scan_buf = DeviceBuffer(
-                (store_dim,), np.int8, grow_axis=0, chunk=chunk
-            )
-            self._scale = DeviceBuffer((), np.float32, grow_axis=0, chunk=chunk)
+            self._scan_buf = DeviceBuffer((store_dim,), np.int8, **grow)
+            self._scale = DeviceBuffer((), np.float32, **grow)
         elif scan_mode == 'bf16':
-            self._scan_buf = DeviceBuffer(
-                (dim,), jnp.bfloat16, grow_axis=0, chunk=chunk
-            )
+            self._scan_buf = DeviceBuffer((dim,), jnp.bfloat16, **grow)
             self._scale = None
         else:
             self._scan_buf = None

@@ -106,12 +106,15 @@ class PQScanIndex(BaseIndex):
         # u8/u16/u32 per the codec's n_clusters (reference PQ_Space<CODETYPE>,
         # `include/hnswlib/space_pq.h:15-37`) — the ADC kernels widen codes
         # to int32 in-kernel, so only the storage dtype varies
+        grow = dict(chunk=chunk, expand_mode=self.expand_mode,
+                    expand_step=self.expand_step_size,
+                    initial_capacity=self.initial_size)
         self._codes_t = DeviceBuffer(
             (self.n_subvectors,), np.dtype(pq_codec.code_dtype),
-            grow_axis=1, chunk=chunk,
+            grow_axis=1, **grow,
         )
         self._vectors = (
-            DeviceBuffer((dim,), np.dtype(rerank_dtype), grow_axis=0, chunk=chunk)
+            DeviceBuffer((dim,), np.dtype(rerank_dtype), grow_axis=0, **grow)
             if rerank > 0
             else None
         )

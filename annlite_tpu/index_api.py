@@ -25,7 +25,7 @@ import numpy as np
 from .codecs import OPQCodec, PQCodec, ProjectorCodec, VQCodec
 from .container import CellContainer
 from .doc import Doc, docs_to_embeddings
-from .enums import Metric, parse_metric
+from .enums import ExpandMode, Metric, parse_metric
 from .helper import setup_logging
 from .index.flat import FlatIndex
 from .index.graph import GraphIndex
@@ -48,6 +48,7 @@ class AnnLite:
         n_components: Optional[int] = None,
         initial_size: Optional[int] = None,
         expand_step_size: int = 10240,
+        expand_mode: Union[str, 'ExpandMode'] = None,
         columns: Optional[List[Tuple[str, type]]] = None,
         filterable_attrs: Optional[Dict[str, type]] = None,
         data_path: Union[str, Path] = './data',
@@ -80,6 +81,13 @@ class AnnLite:
         # (the blocked IVF kernel prunes to ~9% of blocks at probe-8).
         self.n_probe = min(n_probe, n_cells) if n_cells > 1 else 1
         self.n_components = n_components
+        self.initial_size = initial_size
+        self.expand_step_size = expand_step_size
+        if expand_mode is None:
+            expand_mode = ExpandMode.ADAPTIVE
+        elif isinstance(expand_mode, str):
+            expand_mode = ExpandMode.from_string(expand_mode)
+        self.expand_mode = expand_mode
         self.read_only = read_only
         self.exact_topk = exact_topk
         self.rerank = rerank
@@ -235,10 +243,16 @@ class AnnLite:
                 self._pq_codec,
                 exact_topk=self.exact_topk,
                 rerank=self.rerank,
+                initial_size=self.initial_size,
+                expand_step_size=self.expand_step_size,
+                expand_mode=self.expand_mode,
             )
         else:
             index = FlatIndex(
-                self.index_dim, metric=self.metric, scan_mode=self.scan_mode
+                self.index_dim, metric=self.metric, scan_mode=self.scan_mode,
+                initial_size=self.initial_size,
+                expand_step_size=self.expand_step_size,
+                expand_mode=self.expand_mode,
             )
         self._container = CellContainer(
             dim=self.n_dim,

@@ -58,3 +58,49 @@ def test_time_context(capsys):
     with time_context('block'):
         pass
     assert 'block took' in capsys.readouterr().out
+
+
+def test_expand_mode_growth_semantics():
+    """VERDICT r4 #6: expand_mode was an accepted-but-dead knob.  STEP grows
+    by fixed expand_step_size blocks (reference flat_index.py:52-58), DOUBLE
+    doubles, ADAPTIVE (default) doubles with chunk-quantized shapes."""
+    import numpy as np
+
+    from annlite_tpu.enums import ExpandMode
+    from annlite_tpu.index.buffer import DeviceBuffer
+
+    step = DeviceBuffer((4,), np.float32, chunk=64,
+                        expand_mode=ExpandMode.STEP, expand_step=100,
+                        initial_capacity=100)
+    assert step.capacity == 100
+    step.append(np.zeros((150, 4), np.float32))
+    assert step.capacity == 200          # one step past 150
+    step.append(np.zeros((51, 4), np.float32))
+    assert step.capacity == 300          # 201 rows -> next step
+
+    dbl = DeviceBuffer((4,), np.float32, chunk=64,
+                       expand_mode=ExpandMode.DOUBLE, expand_step=100,
+                       initial_capacity=128)
+    assert dbl.capacity == 128
+    dbl.append(np.zeros((129, 4), np.float32))
+    assert dbl.capacity == 256           # doubled
+    dbl.append(np.zeros((400, 4), np.float32))
+    assert dbl.capacity == 1024          # 529 rows -> 512 -> 1024
+
+    ada = DeviceBuffer((4,), np.float32, chunk=64)
+    assert ada.capacity == 64            # default: chunk floor
+    ada.append(np.zeros((65, 4), np.float32))
+    assert ada.capacity == 128           # doubled, chunk-quantized
+
+
+def test_expand_mode_through_flat_index():
+    import numpy as np
+
+    from annlite_tpu.index.flat import FlatIndex
+
+    idx = FlatIndex(8, expand_mode='step', initial_size=256,
+                    expand_step_size=256)
+    idx.add_with_ids(np.random.default_rng(0)
+                     .standard_normal((300, 8)).astype(np.float32),
+                     np.arange(300))
+    assert idx.capacity == 512           # stepped once, not chunk-padded
