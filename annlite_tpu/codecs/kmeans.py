@@ -37,7 +37,7 @@ def assign(x: jax.Array, centroids: jax.Array) -> jax.Array:
     return jnp.argmin(_pairwise_sq(x, centroids), axis=-1).astype(jnp.int32)
 
 
-def _lloyd_step(x, centroids):
+def _lloyd_step(x, centroids, spherical: bool = False):
     d2 = _pairwise_sq(x, centroids)
     labels = jnp.argmin(d2, axis=-1)
     k = centroids.shape[0]
@@ -47,6 +47,20 @@ def _lloyd_step(x, centroids):
     new_centroids = jnp.where(
         counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centroids
     )
+    if spherical:
+        # spherical k-means (cosine coarse quantizer — reference cosine
+        # rule, annlite/core/codec/vq.py + pq.py:67-69): project centroids
+        # back onto the unit sphere each iteration.  The plain Lloyd mean
+        # of unit vectors shrinks toward the origin in proportion to the
+        # cluster's angular spread, which biases the euclidean Voronoi
+        # boundaries toward tight clusters; renormalizing makes the
+        # assignment a pure max-inner-product rule.  (For unit x and unit
+        # c, argmin ||x-c||² == argmax x·c, so `assign` stays valid.)
+        norm = jnp.linalg.norm(new_centroids, axis=1, keepdims=True)
+        new_centroids = jnp.where(
+            norm > 1e-12, new_centroids / jnp.maximum(norm, 1e-12),
+            new_centroids,
+        )
     inertia = jnp.sum(jnp.min(d2, axis=-1))
     return new_centroids, inertia
 
@@ -58,12 +72,12 @@ def _init_centroids(key, x, k):
     return x[idx]
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _kmeans_single(key, x, k, iters):
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _kmeans_single(key, x, k, iters, spherical=False):
     c0 = _init_centroids(key, x, k)
 
     def body(c, _):
-        c, inertia = _lloyd_step(x, c)
+        c, inertia = _lloyd_step(x, c, spherical=spherical)
         return c, inertia
 
     centroids, inertias = jax.lax.scan(body, c0, None, length=iters)
@@ -71,26 +85,51 @@ def _kmeans_single(key, x, k, iters):
 
 
 def kmeans_fit(
-    key: jax.Array, x: jax.Array, k: int, iters: int = 25, n_init: int = 4
+    key: jax.Array, x: jax.Array, k: int, iters: int = 25, n_init: int = 4,
+    spherical: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full-batch Lloyd with ``n_init`` restarts; returns best
     ``(centroids[k,d], inertia)`` (mirrors sklearn ``n_init`` behaviour used
-    at `annlite/core/codec/vq.py:40-44`)."""
+    at `annlite/core/codec/vq.py:40-44`).  ``spherical=True`` renormalizes
+    centroids each iteration (cosine-metric coarse quantization)."""
     x = jnp.asarray(x, dtype=jnp.float32)
     keys = jax.random.split(key, n_init)
-    cs, inertias = jax.vmap(lambda kk: _kmeans_single(kk, x, k, iters))(keys)
+    cs, inertias = jax.vmap(
+        lambda kk: _kmeans_single(kk, x, k, iters, spherical))(keys)
     best = jnp.argmin(inertias)
     return cs[best], inertias[best]
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _kmeans_warm_multi(x, c0, iters):
+    """Vmapped Lloyd from explicit initial codebooks: ``x[M, n, d]``,
+    ``c0[M, k, d] -> [M, k, d]`` (OPQ warm-start path — each alternation
+    sweep refines the previous sweep's codebooks instead of refitting from
+    a cold init, which is what makes the alternation converge)."""
+
+    def single(xs, cs):
+        def body(c, _):
+            c, inertia = _lloyd_step(xs, c)
+            return c, inertia
+
+        out, _ = jax.lax.scan(body, cs, None, length=iters)
+        return out
+
+    return jax.vmap(single)(x, c0)
+
+
 def kmeans_fit_multi(
-    key: jax.Array, x: jax.Array, k: int, iters: int = 25, n_init: int = 1
+    key: jax.Array, x: jax.Array, k: int, iters: int = 25, n_init: int = 1,
+    init: jax.Array = None,
 ) -> jax.Array:
     """Train M independent codebooks at once: ``x[M, n, d] -> [M, k, d]``.
 
     This is the PQ training hot path — all subspaces in one compiled program.
+    ``init=[M, k, d]`` warm-starts Lloyd from given codebooks (no restarts).
     """
     x = jnp.asarray(x, dtype=jnp.float32)
+    if init is not None:
+        return _kmeans_warm_multi(x, jnp.asarray(init, jnp.float32), iters)
     m = x.shape[0]
     keys = jax.random.split(key, m * n_init).reshape(m, n_init, -1)
 

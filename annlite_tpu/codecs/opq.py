@@ -33,13 +33,42 @@ def _procrustes_update(x, recon_rot):
     return jnp.dot(u, vt, precision=jax.lax.Precision.HIGHEST)
 
 
+def _eigenvalue_allocation(x: np.ndarray, m: int) -> np.ndarray:
+    """Parametric OPQ init (Ge et al. §4 'eigenvalue allocation'): rotate
+    onto the PCA basis, then permute principal directions into the M
+    subspaces so each subspace's eigenvalue PRODUCT (≈ its quantization
+    difficulty under an independent codebook) is balanced — greedy
+    assignment of descending eigenvalues to the bucket with the smallest
+    current log-product.  On anisotropic data this is most of OPQ's gain;
+    identity init leaves the alternation in a poor local minimum."""
+    d = x.shape[1]
+    ds = d // m
+    cov = np.cov(x.astype(np.float64).T)
+    w, v = np.linalg.eigh(cov)           # ascending
+    w, v = w[::-1], v[:, ::-1]           # descending eigenvalues
+    buckets = [[] for _ in range(m)]
+    logp = np.zeros(m)
+    for i in range(d):
+        free = [b for b in range(m) if len(buckets[b]) < ds]
+        b = min(free, key=lambda j: logp[j])
+        buckets[b].append(i)
+        logp[b] += np.log(max(float(w[i]), 1e-12))
+    perm = [i for b in buckets for i in b]
+    return np.ascontiguousarray(v[:, perm], dtype=np.float32)
+
+
 class OPQCodec(PQCodec):
     """PQ with a learned orthogonal pre-rotation."""
 
-    def __init__(self, *args, opq_iters: int = 5, **kwargs):
+    def __init__(self, *args, opq_iters: int = 8, opq_init: str = 'eigen',
+                 **kwargs):
         super().__init__(*args, **kwargs)
+        if opq_init not in ('eigen', 'identity'):
+            raise ValueError(f'unknown opq_init {opq_init!r}')
         self.opq_iters = opq_iters
+        self.opq_init = opq_init
         self._rotation = np.eye(self.dim, dtype=np.float32)
+        self.fit_trace: list = []  # per-sweep reconstruction MSE
 
     @property
     def rotation(self) -> np.ndarray:
@@ -55,25 +84,51 @@ class OPQCodec(PQCodec):
         )
 
     def fit(self, x: np.ndarray, iter: int = 25):
+        """Non-parametric OPQ alternation (Ge et al. §3), eigen-allocated
+        init (§4) and warm-started codebooks: sweep 0 runs the full k-means
+        in the initialized rotation; later sweeps REFINE the previous
+        codebooks for a few Lloyd iterations after each Procrustes rotation
+        update (a cold refit per sweep de-couples the alternation — the
+        r4 diagnosis for OPQ ≈ PQ on anisotropic data).  ``fit_trace``
+        records per-sweep reconstruction MSE so convergence is checkable.
+        """
         x = np.asarray(x, dtype=np.float32)
         if self.normalize_input:
             x = np.asarray(l2_normalize(x))
-        self._rotation = np.eye(self.dim, dtype=np.float32)
-        for it in range(self.opq_iters):
-            xr = self._rotate(x)
-            # (re)fit codebooks in the rotated space — use the parent's
-            # k-means but skip its normalization (already applied)
-            saved, self.normalize_input = self.normalize_input, False
-            try:
-                super().fit(xr, iter=iter)
+        self._rotation = (
+            _eigenvalue_allocation(x, self.n_subvectors)
+            if self.opq_init == 'eigen'
+            else np.eye(self.dim, dtype=np.float32)
+        )
+        self.fit_trace = []
+        xj = jnp.asarray(x)
+        rot = self._rotation
+        # the parent's fit/encode/decode dispatch back into THIS class's
+        # _prep/decode, which apply the rotation — neutralize it while
+        # operating on pre-rotated data, else every inner call compounds
+        # an extra R (the r4 bug: codebooks trained on x·R² while
+        # inference encoded x·R → OPQ measured ≈ plain PQ)
+        saved, self.normalize_input = self.normalize_input, False
+        eye = np.eye(self.dim, dtype=np.float32)
+        try:
+            for it in range(self.opq_iters):
+                xr = np.asarray(jnp.dot(
+                    xj, jnp.asarray(rot),
+                    precision=jax.lax.Precision.HIGHEST))
+                self._rotation = eye
+                super().fit(xr, iter=iter if it == 0 else max(iter // 4, 4),
+                            warm_start=it > 0)
                 codes = super().encode(xr)
                 recon = super().decode(codes)
-            finally:
-                self.normalize_input = saved
-            if it < self.opq_iters - 1:
-                self._rotation = np.asarray(
-                    _procrustes_update(jnp.asarray(x), jnp.asarray(recon))
-                )
+                self._rotation = rot
+                self.fit_trace.append(float(np.mean((xr - recon) ** 2)))
+                if it < self.opq_iters - 1:
+                    rot = np.asarray(
+                        _procrustes_update(xj, jnp.asarray(recon))
+                    )
+        finally:
+            self.normalize_input = saved
+            self._rotation = rot
         self._is_trained = True
         return self
 
@@ -103,13 +158,16 @@ class OPQCodec(PQCodec):
     def _state(self):
         st = super()._state()
         st['params']['opq_iters'] = self.opq_iters
+        st['params']['opq_init'] = self.opq_init
         st['arrays']['rotation'] = self._rotation
         return st
 
     def _restore(self, params, arrays):
         opq_iters = params.pop('opq_iters', 5)
+        opq_init = params.pop('opq_init', 'eigen')
         super()._restore(params, arrays)
         self.opq_iters = opq_iters
+        self.opq_init = opq_init
         self._rotation = arrays.get(
             'rotation', np.eye(self.dim, dtype=np.float32)
         )

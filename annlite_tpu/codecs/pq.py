@@ -132,13 +132,20 @@ class PQCodec(BaseCodec):
             x = l2_normalize(x)
         return x
 
-    def fit(self, x: np.ndarray, iter: int = 25):
+    def fit(self, x: np.ndarray, iter: int = 25, warm_start: bool = False):
+        """``warm_start=True`` refines the existing codebooks in place
+        (OPQ alternation) instead of refitting from a cold init."""
         x = self._prep(x)
         n = x.shape[0]
         xs = x.reshape(n, self.n_subvectors, self.d_subvector).transpose(1, 0, 2)
         key = jax.random.PRNGKey(self.seed)
+        init = (
+            self._codebooks if warm_start and self._codebooks is not None
+            else None
+        )
         cb = kmeans_fit_multi(
-            key, xs, self.n_clusters, iters=iter, n_init=self.n_init
+            key, xs, self.n_clusters, iters=iter, n_init=self.n_init,
+            init=init,
         )
         self._codebooks = np.asarray(cb)
         self._is_trained = True

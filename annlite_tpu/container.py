@@ -105,14 +105,24 @@ class CellContainer:
         """Append docs; returns their global rows
         (reference `container.py:262-308`)."""
         data = np.asarray(data, dtype=np.float32)
-        cells = np.asarray(cells).reshape(-1)
+        cells = np.asarray(cells)
+        # soft assignment ([n, a] cells): the container's own bookkeeping
+        # (tables, _cells, addresses) uses the PRIMARY cell; the full
+        # multi-cell assignment goes only to a wants_cells index, which
+        # stores one code copy per cell and dedups at search
+        cells_multi = cells if cells.ndim == 2 else None
+        if cells_multi is not None:
+            cells = np.ascontiguousarray(cells_multi[:, 0])
+        else:
+            cells = cells.reshape(-1)
         tag_rows = [d.tags for d in docs]
         doc_ids = [d.id for d in docs]
         with self._lock:
             rows = self.cell_table.insert(doc_ids, cells, tag_rows)
             if getattr(self.index, 'wants_cells', False):
                 self.index.add_with_ids(
-                    self._project(data), np.asarray(rows), cells=cells
+                    self._project(data), np.asarray(rows),
+                    cells=cells_multi if cells_multi is not None else cells,
                 )
             else:
                 self.index.add_with_ids(self._project(data), np.asarray(rows))
@@ -141,7 +151,9 @@ class CellContainer:
         """Address-aware update: dead-mark the old row, append the new one
         (reference `container.py:323-386`)."""
         data = np.asarray(data, dtype=np.float32)
-        cells = np.asarray(cells).reshape(-1)
+        cells = np.asarray(cells)
+        cells_src = cells if cells.ndim == 2 else cells.reshape(-1)
+        cells = cells_src[:, 0] if cells_src.ndim == 2 else cells_src
         # duplicate ids within one batch: last occurrence wins (equivalent to
         # sequential updates; two alive rows with one id would violate the
         # partial unique index)
@@ -151,6 +163,7 @@ class CellContainer:
             docs = [docs[i] for i in keep]
             data = data[np.asarray(keep)]
             cells = cells[np.asarray(keep)]
+            cells_src = cells_src[np.asarray(keep)]
         # classify first (one lookup per doc), then dead-mark existing rows
         # in ONE batch and append everything in ONE insert — keeps sqlite
         # transaction count O(1) per update() call instead of O(n)
@@ -210,10 +223,10 @@ class CellContainer:
                 if hasattr(self.index, 'delete_rows'):
                     self.index.delete_rows(old_rows)
             sel = np.asarray([i for i, _ in to_replace])
-            self.insert(data[sel], cells[sel], [docs[i] for i, _ in to_replace])
+            self.insert(data[sel], cells_src[sel], [docs[i] for i, _ in to_replace])
         if to_insert_idx:
             sel = np.asarray(to_insert_idx)
-            self.insert(data[sel], cells[sel], [docs[i] for i in to_insert_idx])
+            self.insert(data[sel], cells_src[sel], [docs[i] for i in to_insert_idx])
 
     def delete(self, doc_ids: List[str], raise_errors_on_not_found: bool = False):
         for doc_id in doc_ids:

@@ -23,6 +23,20 @@ from .buffer import DeviceBuffer
 NO_ROW = -1
 
 
+@jax.jit
+def _dedup_candidates(d, rows):
+    """Keep each row's best occurrence: sort by (row, distance), mask
+    repeats of the same row to BIG, restore distance order.  One multi-
+    operand sort per step — no serial gathers (CLAUDE.md merge rule)."""
+    rows_s, d_s = jax.lax.sort([rows, d], dimension=1, num_keys=2)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(rows_s[:, :1], dtype=bool),
+         rows_s[:, 1:] == rows_s[:, :-1]], axis=1)
+    d_s = jnp.where(dup | (rows_s < 0), BIG, d_s)
+    d_out, rows_out = jax.lax.sort([d_s, rows_s], dimension=1, num_keys=1)
+    return d_out, rows_out
+
+
 class IVFPQIndex(BaseIndex):
     wants_cells = True  # container passes per-row cell ids to add_with_ids
 
@@ -66,13 +80,24 @@ class IVFPQIndex(BaseIndex):
         return x
 
     def add_with_ids(self, x, ids, cells=None, codes=None):
+        """``cells`` may be ``[n]`` (single assignment) or ``[n, a]`` with
+        -1 pads (soft assignment: the row's codes are stored once per
+        listed cell; search dedups)."""
         x = self._prep(x)
         if cells is None:
             cells = np.zeros(len(x), dtype=np.int32)
         if codes is None:
             codes = self.pq_codec.encode(x)
         ids = np.asarray(ids)
-        self._store.append(codes, cells, ids)
+        cells = np.asarray(cells)
+        if cells.ndim == 2:
+            self._store.multi = True
+            keep = cells >= 0
+            rep_idx = np.nonzero(keep)[0]       # row index per copy
+            self._store.append(codes[rep_idx], cells[keep],
+                               ids[rep_idx])
+        else:
+            self._store.append(codes, cells, ids)
         self._size = max(self._size, int(ids.max()) + 1) if len(ids) else self._size
         if self._vectors is not None:
             self._vectors.write(ids, x.astype(self._vectors.dtype))
@@ -106,11 +131,21 @@ class IVFPQIndex(BaseIndex):
                 mb, rm, jnp.asarray(np.asarray(mask).astype(np.int8))
             )
         k = limit if self.rerank == 0 else max(self.rerank, limit)
+        if self._store.multi:
+            # soft-assigned rows can appear once per probed copy — widen
+            # the candidate pool so duplicates don't crowd out real rows,
+            # then keep only each row's first occurrence
+            k = min(2 * k, self._store.n_blocks * self._store.bs)
         d, rows = ivf_scan_topk(
             jnp.asarray(sel), dtable, cb, mb, rm, k, exact=self.exact_topk
         )
+        if self._store.multi:
+            d, rows = _dedup_candidates(d, rows)
         if self.rerank > 0:
             d, rows = self._rerank_stage(query, rows, d, limit)
+        elif self._store.multi:
+            neg, pos = jax.lax.top_k(-d, min(limit, d.shape[1]))
+            d, rows = -neg, jnp.take_along_axis(rows, pos, axis=1)
         d, rows = np.asarray(d), np.asarray(rows)
         return d[:, :limit], rows[:, :limit]
 
@@ -147,6 +182,7 @@ class IVFPQIndex(BaseIndex):
             'row_map': self._store.row_map.copy(),
             'block_cell': self._store.block_cell.copy(),
             'size': np.array(self._size),
+            'store_multi': np.array(self._store.multi),
         }
         if self._vectors is not None:
             out['vectors'] = np.asarray(self._vectors.host_view(), dtype=np.float32)
@@ -175,12 +211,27 @@ class IVFPQIndex(BaseIndex):
             alive = (st.row_map[:nb] >= 0) & (st.mask[:nb] > 0)
             b_idx, s_idx = np.nonzero(alive)
             rows = st.row_map[:nb][b_idx, s_idx]
-            st._row_addr = dict(
-                zip(rows.tolist(), zip(b_idx.tolist(), s_idx.tolist()))
-            )
+            st.multi = bool(state.get('store_multi', False))
+            if not st.multi:
+                st._row_addr = dict(
+                    zip(rows.tolist(), zip(b_idx.tolist(), s_idx.tolist()))
+                )
+            else:  # soft-assigned rows hold several addrs — keep them all
+                addr = {}
+                for r, b, s in zip(rows.tolist(), b_idx.tolist(),
+                                   s_idx.tolist()):
+                    cur = addr.get(r)
+                    if cur is None:
+                        addr[r] = (b, s)
+                    elif isinstance(cur, list):
+                        cur.append((b, s))
+                    else:
+                        addr[r] = [cur, (b, s)]
+                st._row_addr = addr
         else:
             st._cell_tail = {}
             st._row_addr = {}
+            st.multi = bool(state.get('store_multi', False))
         self._size = int(state['size'])
         if self._vectors is not None and 'vectors' in state:
             v = state['vectors']

@@ -65,6 +65,8 @@ class AnnLite:
         ef_search: int = 64,
         graph_build_mode: str = 'host',
         auto_compact_dead_fraction: Optional[float] = None,
+        n_assign: int = 1,
+        assign_margin: float = 0.05,
         **kwargs,
     ):
         self.logger = setup_logging(verbose)
@@ -80,6 +82,8 @@ class AnnLite:
         # `AnnLite(n_cells=1024, n_probe=8)` really scans ~n_probe cells
         # (the blocked IVF kernel prunes to ~9% of blocks at probe-8).
         self.n_probe = min(n_probe, n_cells) if n_cells > 1 else 1
+        self.n_assign = max(1, int(n_assign))
+        self.assign_margin = float(assign_margin)
         self.n_components = n_components
         self.initial_size = initial_size
         self.expand_step_size = expand_step_size
@@ -336,6 +340,13 @@ class AnnLite:
 
     def _assign_cells(self, x: np.ndarray) -> np.ndarray:
         if self._vq_codec is not None:
+            if (self.n_assign > 1
+                    and getattr(self._container.index, 'wants_cells', False)):
+                # soft assignment: boundary points are stored in up to
+                # n_assign cells (the IVF index dedups at search) — lifts
+                # probe-k cell recall on angular data, see codecs/vq.py
+                return self._vq_codec.encode_multi(
+                    x, n_assign=self.n_assign, margin=self.assign_margin)
             return np.asarray(self._vq_codec.encode(x)).reshape(-1)
         return np.zeros(x.shape[0], dtype=np.int64)
 

@@ -306,7 +306,10 @@ class BlockedCodes:
         self.row_map = np.full((0, self.bs), -1, dtype=np.int32)
         self.block_cell = np.zeros(0, dtype=np.int32)
         self._cell_tail = {}  # cell -> (block_idx, fill)
-        self._row_addr = {}  # global row -> (block, slot)
+        # global row -> (block, slot), or a LIST of addrs when the row is
+        # soft-assigned into several cells (multi=True)
+        self._row_addr = {}
+        self.multi = False  # any row stored in >1 cell (soft assignment)
         self._dirty = True
         self._dev = None
 
@@ -375,12 +378,23 @@ class BlockedCodes:
                 self.codes[b, :, sl] = seg_codes[pos:pos + take].T
                 self.mask[b, sl] = 1
                 self.row_map[b, sl] = seg_rows[pos:pos + take]
-                self._row_addr.update(
-                    zip(
-                        seg_rows[pos:pos + take].tolist(),
-                        ((b, s) for s in range(fill, fill + take)),
+                if not self.multi:
+                    self._row_addr.update(
+                        zip(
+                            seg_rows[pos:pos + take].tolist(),
+                            ((b, s) for s in range(fill, fill + take)),
+                        )
                     )
-                )
+                else:  # duplicate-aware (soft assignment): keep EVERY addr
+                    for r, s in zip(seg_rows[pos:pos + take].tolist(),
+                                    range(fill, fill + take)):
+                        cur = self._row_addr.get(r)
+                        if cur is None:
+                            self._row_addr[r] = (b, s)
+                        elif isinstance(cur, list):
+                            cur.append((b, s))
+                        else:
+                            self._row_addr[r] = [cur, (b, s)]
                 fill += take
                 pos += take
             self._cell_tail[cell] = (b, fill)
@@ -390,9 +404,11 @@ class BlockedCodes:
         changed = []
         for row in np.asarray(rows).tolist():
             addr = self._row_addr.pop(int(row), None)
-            if addr is not None:
-                self.mask[addr] = 0
-                changed.append(addr)
+            if addr is None:
+                continue
+            for a in (addr if isinstance(addr, list) else [addr]):
+                self.mask[a] = 0
+                changed.append(a)
         if not changed:
             return
         if self._dev is not None and not self._dirty:

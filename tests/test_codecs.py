@@ -245,3 +245,32 @@ def test_opq_dump_load(rng, tmp_path):
     o2 = OPQCodec.load(tmp_path / 'opq.npz')
     np.testing.assert_array_equal(opq.rotation, o2.rotation)
     np.testing.assert_array_equal(opq.encode(x), o2.encode(x))
+
+
+def test_opq_converges_and_eigen_init_helps(rng):
+    """VERDICT r4 #4 regression: (a) the alternation must be monotone —
+    the old super().encode path dispatched back into OPQ._prep and
+    compounded an extra rotation per sweep (codebooks trained on x·R² but
+    inference encoding x·R, so OPQ measured ≈ plain PQ); (b) the
+    eigenvalue-allocation init (Ge et al. §4) must beat identity init on
+    anisotropic data."""
+    from annlite_tpu.codecs import OPQCodec
+
+    core = rng.standard_normal((600, 32)).astype(np.float32)
+    mix = rng.standard_normal((32, 32)).astype(np.float32) \
+        * np.linspace(2, 0.1, 32)[None]
+    x = core @ mix
+
+    opq = OPQCodec(dim=32, n_subvectors=8, n_clusters=16,
+                   metric='euclidean', n_init=1, opq_iters=6).fit(x, iter=15)
+    tr = opq.fit_trace
+    assert len(tr) == 6
+    # monotone within noise (each sweep may only improve the objective)
+    assert all(tr[i + 1] <= tr[i] * 1.02 for i in range(5)), tr
+    assert tr[-1] < tr[0] * 1.01
+
+    ident = OPQCodec(dim=32, n_subvectors=8, n_clusters=16,
+                     metric='euclidean', n_init=1, opq_iters=6,
+                     opq_init='identity').fit(x, iter=15)
+    assert tr[-1] < ident.fit_trace[-1] * 0.9, (
+        tr[-1], ident.fit_trace[-1])
