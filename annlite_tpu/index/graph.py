@@ -57,7 +57,7 @@ class GraphIndex(BaseIndex):
         super().__init__(dim=dim, metric=metric, **kwargs)
         if build_mode not in ('host', 'device'):
             raise ValueError(f'unknown build_mode {build_mode!r}')
-        if traverse not in ('auto', 'pq', 'vectors', 'packed'):
+        if traverse not in ('auto', 'pq', 'vectors', 'packed', 'int8'):
             raise ValueError(f'unknown traverse {traverse!r}')
         # 'auto': score traversal with resident vectors whenever they exist
         # (with rerank > 0 the bf16 copy is resident anyway, and the MXU dot
@@ -69,6 +69,11 @@ class GraphIndex(BaseIndex):
         # (`ops/beam.py pack_neighbors`), killing the 8x gather tile
         # amplification; costs R x corpus bytes at int8 and always reranks
         # exactly (int8 traversal scores are approximate).
+        # 'int8': same row layout as 'auto' but the traversal copy is an
+        # int8 row-quantized corpus (+ per-row scale/norm) — HALF the
+        # gather bytes of bf16 for the beam's hot B*R row-gather step,
+        # always exact-reranked; the lever for large-N serving where the
+        # scattered gathers are HBM-latency-bound.
         self.traverse = traverse
         # entry_mode='sample': seed the beam with each query's nearest
         # `entry_width` nodes out of `n_entry_samples` uniformly sampled
@@ -122,6 +127,7 @@ class GraphIndex(BaseIndex):
         self._dev_vectors = None
         self._dev_codes = None
         self._packed = None  # (packed_i8, scale, norms) for traverse='packed'
+        self._int8 = None    # (x8, scale, norms) for traverse='int8'
         self._dirty = True
         # rerank=0 + traverse='pq' is the true low-memory mode: traversal
         # AND the returned ranking are raw PQ-LUT scores — guard its
@@ -159,7 +165,8 @@ class GraphIndex(BaseIndex):
         x = self._prep(x)
         can_patch = (
             not self._dirty and self.build_mode == 'device'
-            and self.traverse != 'packed' and self._dev_adj is not None
+            and self.traverse not in ('packed', 'int8')
+            and self._dev_adj is not None
         )
         if self.build_mode == 'device':
             self._graph.add(x)
@@ -307,7 +314,7 @@ class GraphIndex(BaseIndex):
         # source; 'vectors' would otherwise silently degrade to PQ)
         if (
             self.pq_codec is None or self.rerank > 0
-            or self.traverse in ('vectors', 'packed')
+            or self.traverse in ('vectors', 'packed', 'int8')
         ):
             dt = jnp.bfloat16 if self.pq_codec is not None else jnp.float32
             if dev_vecs is not None:
@@ -323,6 +330,10 @@ class GraphIndex(BaseIndex):
             self._packed = pack_neighbors(
                 adj_np, self._dev_vectors,
                 need_norms=self.metric == Metric.EUCLIDEAN,
+            )
+        if self.traverse == 'int8' and self.size:
+            self._int8 = _quantize_rows_int8(
+                jnp.asarray(self._vectors)
             )
         # vector-scored traversal only: under coarse PQ-LUT scoring the
         # medoid's longer walk IS the recall (extra exploration); tight
@@ -392,6 +403,14 @@ class GraphIndex(BaseIndex):
                 jnp.asarray(query), metric_euclidean,
                 k=ef, L=ef, B=self.beam_width,
             )
+        elif self._int8 is not None:
+            from ..ops.beam import beam_search_int8
+
+            x8, sc8, nm8 = self._int8
+            d, ids = beam_search_int8(
+                self._dev_adj, entry, x8, sc8, nm8, jnp.asarray(query),
+                metric_euclidean, k=ef, L=ef, B=self.beam_width,
+            )
         elif self._pq_traverse():
             dtable = jnp.asarray(self.pq_codec.get_dist_mat(query))
             d, ids = beam_search_pq(
@@ -420,13 +439,13 @@ class GraphIndex(BaseIndex):
         return d[:, :limit], ids[:, :limit]
 
     def _needs_rerank(self) -> bool:
-        if self.traverse == 'packed':
+        if self.traverse in ('packed', 'int8'):
             return True  # int8 traversal scores are approximate
         return self.pq_codec is not None and self.rerank > 0
 
     def _effective_rerank(self, limit: int) -> int:
         r = self.rerank if self.rerank > 0 else 0
-        if self.traverse == 'packed':
+        if self.traverse in ('packed', 'int8'):
             r = max(r, 4 * limit)
         return r
 
@@ -464,6 +483,7 @@ class GraphIndex(BaseIndex):
             jnp.asarray(self._alive) if has_deletes else None
         )
         packed = self._packed if self.traverse == 'packed' else None
+        qint8 = self._int8 if self.traverse == 'int8' else None
         entries = (
             (self._entry_vecs, self._entry_ids)
             if self._entry_vecs is not None
@@ -472,6 +492,7 @@ class GraphIndex(BaseIndex):
         run = jax.jit(partial(
             GraphIndex._searcher_impl, use_pq=self._pq_traverse(),
             use_packed=packed is not None,
+            use_int8=qint8 is not None,
             do_rerank=self._needs_rerank(),
             has_deletes=has_deletes,
             metric_euclidean=metric_euclidean, cosine=cosine, medoid=medoid,
@@ -479,11 +500,12 @@ class GraphIndex(BaseIndex):
             entry_width=min(self.entry_width, ef),
         ))
         return lambda query: run(adj, vecs, codes, cb, rot, alive, packed,
-                                 entries, query)
+                                 qint8, entries, query)
 
     @staticmethod
-    def _searcher_impl(adj, vecs, codes, cb, rot, alive, packed, entries,
-                       query, *, use_pq, use_packed, do_rerank, has_deletes,
+    def _searcher_impl(adj, vecs, codes, cb, rot, alive, packed, qint8,
+                       entries, query, *, use_pq, use_packed, use_int8,
+                       do_rerank, has_deletes,
                        metric_euclidean, cosine, medoid, ef, B, rerank,
                        limit, entry_width):
         from ..codecs.pq import _dist_mat_ip, _dist_mat_l2
@@ -503,6 +525,14 @@ class GraphIndex(BaseIndex):
             pk, sc, nm = packed
             d, ids = beam_search_packed(
                 adj, entry, pk, sc, nm, vecs, q, metric_euclidean,
+                k=ef, L=ef, B=B,
+            )
+        elif use_int8:
+            from ..ops.beam import beam_search_int8
+
+            x8, sc8, nm8 = qint8
+            d, ids = beam_search_int8(
+                adj, entry, x8, sc8, nm8, q, metric_euclidean,
                 k=ef, L=ef, B=B,
             )
         elif use_pq:
@@ -594,7 +624,7 @@ class GraphIndex(BaseIndex):
         self._vectors = np.zeros((0, self.dim), dtype=np.float32)
         self._alive = np.zeros(0, dtype=bool)
         self._dev_adj = self._dev_vectors = self._dev_codes = None
-        self._packed = None
+        self._packed = self._int8 = None
         self._entry_ids = self._entry_vecs = None
         self._dirty = True
 
@@ -718,6 +748,18 @@ def consolidate_adjacency(
         keep = np.take_along_axis(d, pick, axis=1) < np.inf
         out[lo:hi] = np.where(keep, vals, -1)
     return out
+
+
+@jax.jit
+def _quantize_rows_int8(v):
+    """Row-quantized int8 traversal copy: (x8 [N, D], scale [N],
+    norms [N] — true f32 row norms, so L2 scores stay consistent)."""
+    v = v.astype(jnp.float32)
+    sc = jnp.max(jnp.abs(v), axis=1) / 127.0
+    q8 = jnp.clip(
+        jnp.round(v / jnp.maximum(sc, 1e-12)[:, None]), -127, 127
+    ).astype(jnp.int8)
+    return q8, sc, jnp.sum(v * v, axis=1)
 
 
 @partial(jax.jit, static_argnums=(3, 4))

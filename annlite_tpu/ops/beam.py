@@ -63,6 +63,56 @@ def make_vector_scorer(vectors, queries, metric_euclidean: bool):
     return score
 
 
+def make_int8_scorer(vecs_i8, scales, norms, queries, metric_euclidean: bool):
+    """Quantized traversal scorer: ids [Q, C] -> approx dists [Q, C].
+    ``vecs_i8`` [N, D] int8 row-quantized (per-row ``scales`` [N]; for L2,
+    true f32 ``norms`` [N]).  Row gathers move HALF the bytes of the bf16
+    scorer — at 1M rows the beam's B·R scattered row gathers are the hot
+    step and are HBM-latency-bound.  Scores are approximate: pair with an
+    exact rerank stage (`index/graph.py traverse='int8'` forces one)."""
+    n = vecs_i8.shape[0]
+
+    def score(ids):
+        valid = (ids >= 0) & (ids < n)
+        safe = jnp.where(valid, ids, 0)
+        v = vecs_i8[safe].astype(jnp.bfloat16)  # [Q, C, D]
+        dots = jnp.einsum(
+            'qd,qcd->qc', queries.astype(jnp.bfloat16), v,
+            preferred_element_type=jnp.float32,
+        ) * scales[safe]
+        if metric_euclidean:
+            qn = jnp.sum(queries * queries, axis=1)
+            d = qn[:, None] + norms[safe] - 2.0 * dots
+        else:
+            d = 1.0 - dots
+        return jnp.where(valid, d, BIG)
+
+    return score
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
+def _beam_int8(adjacency, entry_ids, vecs_i8, scales, norms, queries,
+               metric_euclidean, L, B, iters, k):
+    score = make_int8_scorer(vecs_i8, scales, norms, queries, metric_euclidean)
+    return _beam_loop(adjacency, entry_ids, L, B, iters, k, score)
+
+
+def beam_search_int8(
+    adjacency, entry_ids, vecs_i8, scales, norms, queries,
+    metric_euclidean: bool,
+    k: int = 10, L: int = 64, B: int = 16, iters: Optional[int] = None,
+):
+    """Beam search scoring traversal with the int8 corpus copy (half the
+    gather bytes of bf16).  Approximate — rerank the returned pool."""
+    _check_corpus_fits(adjacency.shape[0])
+    B = min(B, L)
+    iters = _resolve_iters(iters, L, B)
+    if norms is None:
+        norms = scales  # placeholder with a gatherable shape (IP/cosine)
+    return _beam_int8(adjacency, entry_ids, vecs_i8, scales, norms, queries,
+                      bool(metric_euclidean), L, B, iters, k)
+
+
 def make_pq_scorer(codes, dtable, use_pallas: Optional[bool] = None):
     """ADC scorer over gathered codes: ids [Q, C] -> dists [Q, C].
     ``codes`` [N, M] uint8 (row-major for row gathers), ``dtable``

@@ -1,0 +1,177 @@
+"""1M-row graph SERVING benchmark (VERDICT r4 #5): bf16 vs int8 traversal.
+
+Reuses the bench_build.py corpus recipe + its cached adjacency
+(/tmp/bench_graph_<n>_<batch>.npz) so only serving is measured.  Every
+variant uses sampled multi-entry seeding (+20-55% QPS at equal recall,
+round-2 finding) and an exact HIGHEST-precision rerank of the top
+candidates, mirroring GraphIndex(traverse='auto'/'int8') with rerank on.
+
+Timing: carry-chained slope, min over trials (CLAUDE.md relay rules).
+Probe-gated: aborts before any heavy work on a degraded relay window.
+
+Usage: timeout 1500 python benchmarks/bench_serve_1m.py [--n 1000000]
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def log(m):
+    print(f'[serve1m] {m}', file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--n', type=int, default=1_000_000)
+    ap.add_argument('--batch', type=int, default=16384,
+                    help='cache key suffix of the prebuilt graph')
+    ap.add_argument('--out', default='benchmarks/results_serve_1m.json')
+    args = ap.parse_args()
+
+    t00 = time.time()
+    import jax
+
+    jax.config.update('jax_compilation_cache_dir',
+                      '/tmp/jax_cache_annlite_bench')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    import jax.numpy as jnp
+
+    (jnp.ones((8, 128)) @ jnp.ones((128, 8))).sum().block_until_ready()
+    t_probe = time.time() - t00
+    log(f'probe {t_probe:.1f}s')
+    if t_probe > 4.0:
+        log('RELAY DEGRADED — aborting before heavy work')
+        raise SystemExit(3)
+
+    from annlite_tpu.index.graph import _sample_entries
+    from annlite_tpu.ops.beam import beam_search_int8, beam_search_vectors
+
+    N, D, Q, TOPK, RER = args.n, 128, 64, 10, 40
+    cache = Path(f'/tmp/bench_graph_{N}_{args.batch}.npz')
+    if not cache.exists():
+        log(f'no cached graph at {cache} — run bench_build.py first')
+        raise SystemExit(2)
+    z = np.load(cache)
+    raw_w = z['raw_w']
+    log(f'graph loaded: {raw_w.shape}')
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(1024, D)).astype(np.float32) * 2.0
+    labels = rng.integers(0, 1024, size=1_000_000)
+    X = (centers[labels] + rng.normal(size=(1_000_000, D))
+         ).astype(np.float32)[:N]
+    qsets = [(centers[rng.integers(0, 1024, size=Q)]
+              + rng.normal(size=(Q, D))).astype(np.float32)
+             for _ in range(8)]
+    queries = qsets[0]
+    log(f'corpus ready at {time.time()-t00:.0f}s')
+
+    @jax.jit
+    def exact_batch(q, xc):
+        return (
+            jnp.sum(q * q, 1)[:, None] + jnp.sum(xc * xc, 1)[None, :]
+            - 2 * jnp.dot(q, xc.T, precision=jax.lax.Precision.HIGHEST)
+        )
+
+    qj = jnp.asarray(queries)
+    d_all = np.concatenate(
+        [np.asarray(exact_batch(qj, jnp.asarray(X[s:s + 250_000])))
+         for s in range(0, N, 250_000)], axis=1)
+    gt = np.argsort(d_all, axis=1)[:, :TOPK]
+    log(f'GT ready at {time.time()-t00:.0f}s')
+
+    def recall(ids):
+        ids = np.asarray(ids)[:, :TOPK]
+        return float(np.mean([
+            len(set(gt[i]) & set(ids[i])) / TOPK for i in range(Q)
+        ]))
+
+    adj = jnp.asarray(raw_w)
+    Xf = jnp.asarray(X)                      # f32 (rerank)
+    Xb = Xf.astype(jnp.bfloat16)             # bf16 traversal copy
+
+    @jax.jit
+    def quant(v):
+        sc = jnp.max(jnp.abs(v), axis=1) / 127.0
+        q8 = jnp.clip(jnp.round(v / jnp.maximum(sc, 1e-12)[:, None]),
+                      -127, 127).astype(jnp.int8)
+        return q8, sc, jnp.sum(v * v, axis=1)
+
+    X8, Xsc, Xnm = quant(Xf)
+    SENT = 1024
+    sids = jnp.asarray(
+        (np.arange(SENT, dtype=np.int64) * N // SENT).astype(np.int32))
+    svecs = Xb[sids]
+    qd = [jnp.asarray(q) for q in qsets]
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2, 3))
+    def run_bf16(q, carry, ef, B):
+        q = q + carry * 1e-12
+        entry = _sample_entries(svecs, sids, q, True, 8)
+        bd, ids = beam_search_vectors(adj, entry, Xb, q, True,
+                                      k=ef, L=ef, B=B)
+        return _rerank(q, bd, ids)
+
+    @partial(jax.jit, static_argnums=(2, 3))
+    def run_int8(q, carry, ef, B):
+        q = q + carry * 1e-12
+        entry = _sample_entries(svecs, sids, q, True, 8)
+        bd, ids = beam_search_int8(adj, entry, X8, Xsc, Xnm, q, True,
+                                   k=ef, L=ef, B=B)
+        return _rerank(q, bd, ids)
+
+    def _rerank(q, bd, ids):
+        cand = ids[:, :RER]
+        safe = jnp.clip(cand, 0, N - 1)
+        cv = Xf[safe]
+        d = (jnp.sum(q * q, 1)[:, None] + jnp.sum(cv * cv, -1)
+             - 2.0 * jnp.einsum('qd,qcd->qc', q, cv,
+                                precision=jax.lax.Precision.HIGHEST))
+        d = jnp.where(bd[:, :RER] < 3e38, d, 3.4e38)
+        neg, pos = jax.lax.top_k(-d, TOPK)
+        out = jnp.take_along_axis(cand, pos, axis=1)
+        return -neg, out, (-neg[0, 0]) * 1e-9
+
+    def chain_time(fn, reps=(2, 8), trials=3):
+        carry0 = jnp.float32(0.0)
+        _ = np.asarray(fn(qd[0], carry0)[-1])
+        tmin = {}
+        for K in reps:
+            best = float('inf')
+            for _t in range(trials):
+                carry = carry0
+                t0 = time.perf_counter()
+                for i in range(K):
+                    carry = fn(qd[i % len(qd)], carry)[-1]
+                _ = np.asarray(carry)
+                best = min(best, time.perf_counter() - t0)
+            tmin[K] = best
+        return (tmin[reps[1]] - tmin[reps[0]]) / (reps[1] - reps[0])
+
+    results = {'n': N, 'd': D, 'batch_q': Q}
+    for name, fn in (('bf16', run_bf16), ('int8', run_int8)):
+        for ef, B in ((64, 16), (96, 16), (128, 16), (64, 32)):
+            key = f'{name}_ef{ef}_B{B}'
+            f = lambda q, c, ef=ef, B=B, fn=fn: fn(q, c, ef, B)
+            _, ids, _ = f(qd[0], jnp.float32(0.0))
+            rec = recall(ids)
+            t = chain_time(f)
+            qps = Q / t if t > 0 else 0.0
+            results[key] = {'recall_at_10': round(rec, 4),
+                            'qps': round(qps, 1),
+                            'ms_per_batch': round(t * 1e3, 2)}
+            log(f'{key}: R@10={rec:.4f} {qps:.0f} qps ({t*1e3:.2f} ms)')
+    Path(args.out).write_text(json.dumps(results, indent=1))
+    log(f'wrote {args.out} (total {time.time()-t00:.0f}s)')
+
+
+if __name__ == '__main__':
+    main()

@@ -533,3 +533,83 @@ def test_streaming_append_incremental_sync():
     d2, ids2 = g.search(x[1200:1205], limit=5)
     np.testing.assert_array_equal(ids1, ids2)
     np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
+
+
+def test_beam_int8_matches_bf16(rng):
+    """int8 traversal scorer (1M-serving lever): on a small graph its
+    top-k (after exact rerank) matches the bf16 path's recall."""
+    import jax.numpy as jnp
+
+    from annlite_tpu.index.device_build import DeviceVamanaBuilder
+    from annlite_tpu.ops.beam import beam_search_int8, beam_search_vectors
+
+    D, N = 32, 3000
+    centers = rng.standard_normal((8, D)).astype(np.float32) * 3
+    x = (centers[rng.integers(0, 8, N)]
+         + rng.standard_normal((N, D))).astype(np.float32)
+    b = DeviceVamanaBuilder(D, max_degree=16, l_build=32, batch_size=1024)
+    b.add(x)
+    adj = jnp.asarray(b.raw_adjacency())
+    xd = jnp.asarray(x)
+    sc = np.abs(x).max(axis=1) / 127.0
+    x8 = jnp.asarray(np.clip(np.round(x / sc[:, None]), -127, 127)
+                     .astype(np.int8))
+    scj = jnp.asarray(sc.astype(np.float32))
+    nm = jnp.asarray((x * x).sum(axis=1).astype(np.float32))
+
+    q = x[:16]
+    entry = jnp.full((16, 1), b.medoid, dtype=jnp.int32)
+    qj = jnp.asarray(q)
+    _, ids_v = beam_search_vectors(adj, entry, xd, qj, True, k=64, L=64)
+    _, ids_8 = beam_search_int8(adj, entry, x8, scj, nm, qj, True,
+                                k=64, L=64)
+    exact = np.argsort(((q[:, None] - x[None]) ** 2).sum(-1), axis=1)[:, :10]
+
+    def rec(ids):
+        ids = np.asarray(ids)
+        # exact rerank of the candidate pool, as serving does
+        out = []
+        for i in range(16):
+            pool = [j for j in ids[i].tolist() if 0 <= j < N]
+            d = ((q[i] - x[pool]) ** 2).sum(-1)
+            top = [pool[t] for t in np.argsort(d)[:10]]
+            out.append(len(set(exact[i]) & set(top)) / 10)
+        return float(np.mean(out))
+
+    rv, r8 = rec(ids_v), rec(ids_8)
+    assert rv > 0.9, rv
+    assert r8 >= rv - 0.05, (r8, rv)
+
+
+def test_graph_index_traverse_int8(rng):
+    """traverse='int8' end to end: search + device_searcher quality matches
+    'auto', streaming append resyncs the quantized copy."""
+    import jax.numpy as jnp
+
+    from annlite_tpu.enums import Metric
+    from annlite_tpu.index.graph import GraphIndex
+
+    D, N = 32, 2500
+    centers = rng.standard_normal((8, D)).astype(np.float32) * 3
+    x = (centers[rng.integers(0, 8, N)]
+         + rng.standard_normal((N, D))).astype(np.float32)
+    idx = GraphIndex(D, metric=Metric.EUCLIDEAN, max_degree=24, ef_search=64,
+                     build_mode='device', build_batch_size=1024,
+                     traverse='int8')
+    idx.add_with_ids(x[:2000], np.arange(2000))
+    q = x[:12]
+    d, ids = idx.search(q, limit=10)
+    assert (np.diff(d, axis=1) >= -1e-4).all()
+    exact = np.argsort(((q[:, None] - x[None, :2000]) ** 2).sum(-1),
+                       axis=1)[:, :10]
+    rec = np.mean([len(set(exact[i]) & set(ids[i].tolist())) / 10
+                   for i in range(12)])
+    assert rec > 0.85, rec
+    # jitted device searcher takes the int8 branch
+    run = idx.device_searcher(limit=10)
+    d2, ids2 = run(jnp.asarray(q))
+    np.testing.assert_array_equal(np.asarray(ids2), ids)
+    # streaming append resyncs the quantized copy
+    idx.add_with_ids(x[2000:2500], np.arange(2000, 2500))
+    _, ids3 = idx.search(x[2100:2104], limit=5)
+    assert all(int(ids3[i][0]) == 2100 + i for i in range(4))
