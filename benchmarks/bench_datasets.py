@@ -311,7 +311,12 @@ def main():
     existing = {}
     if out.exists():
         existing = json.loads(out.read_text())
-    existing[f'{args.dataset}_{n}_m{m_sub}'] = results
+    key = f'{args.dataset}_{n}_m{m_sub}'
+    # merge into the existing entry so a --skip-graph refresh of the
+    # PQ/IVF numbers keeps the previously measured graph sweep
+    prev = existing.get(key, {})
+    prev.update(results)
+    existing[key] = prev
     # migrate the pre-m-key entry for the same config
     existing.pop(f'{args.dataset}_{n}', None)
     out.write_text(json.dumps(existing, indent=1))

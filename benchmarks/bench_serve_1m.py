@@ -112,26 +112,13 @@ def main():
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(2, 3))
-    def run_bf16(q, carry, ef, B):
-        q = q + carry * 1e-12
-        entry = _sample_entries(svecs, sids, q, True, 8)
-        bd, ids = beam_search_vectors(adj, entry, Xb, q, True,
-                                      k=ef, L=ef, B=B)
-        return _rerank(q, bd, ids)
+    # NB: big arrays are jit ARGUMENTS — closing over them serializes the
+    # buffers into the remote-compile request body (HTTP 413, CLAUDE.md)
 
-    @partial(jax.jit, static_argnums=(2, 3))
-    def run_int8(q, carry, ef, B):
-        q = q + carry * 1e-12
-        entry = _sample_entries(svecs, sids, q, True, 8)
-        bd, ids = beam_search_int8(adj, entry, X8, Xsc, Xnm, q, True,
-                                   k=ef, L=ef, B=B)
-        return _rerank(q, bd, ids)
-
-    def _rerank(q, bd, ids):
+    def _rerank(xf, q, bd, ids):
         cand = ids[:, :RER]
         safe = jnp.clip(cand, 0, N - 1)
-        cv = Xf[safe]
+        cv = xf[safe]
         d = (jnp.sum(q * q, 1)[:, None] + jnp.sum(cv * cv, -1)
              - 2.0 * jnp.einsum('qd,qcd->qc', q, cv,
                                 precision=jax.lax.Precision.HIGHEST))
@@ -139,6 +126,28 @@ def main():
         neg, pos = jax.lax.top_k(-d, TOPK)
         out = jnp.take_along_axis(cand, pos, axis=1)
         return -neg, out, (-neg[0, 0]) * 1e-9
+
+    @partial(jax.jit, static_argnums=(6, 7))
+    def run_bf16_impl(adj, xb, xf, sv, q, carry, ef, B):
+        q = q + carry * 1e-12
+        entry = _sample_entries(sv, sids, q, True, 8)
+        bd, ids = beam_search_vectors(adj, entry, xb, q, True,
+                                      k=ef, L=ef, B=B)
+        return _rerank(xf, q, bd, ids)
+
+    @partial(jax.jit, static_argnums=(8, 9))
+    def run_int8_impl(adj, x8, xsc, xnm, xf, sv, q, carry, ef, B):
+        q = q + carry * 1e-12
+        entry = _sample_entries(sv, sids, q, True, 8)
+        bd, ids = beam_search_int8(adj, entry, x8, xsc, xnm, q, True,
+                                   k=ef, L=ef, B=B)
+        return _rerank(xf, q, bd, ids)
+
+    def run_bf16(q, carry, ef, B):
+        return run_bf16_impl(adj, Xb, Xf, svecs, q, carry, ef, B)
+
+    def run_int8(q, carry, ef, B):
+        return run_int8_impl(adj, X8, Xsc, Xnm, Xf, svecs, q, carry, ef, B)
 
     def chain_time(fn, reps=(2, 8), trials=3):
         carry0 = jnp.float32(0.0)
