@@ -88,6 +88,19 @@ def main():
             + ', '.join(f'{k}={v:.1f}' for k, v in sorted(b.stats.items())))
         raw_w, adj_r, medoid = b.raw_adjacency(), b.adjacency(), b.medoid
         np.savez(cache, raw_w=raw_w, adj_r=adj_r, medoid=medoid)
+        if N >= 1_000_000:
+            # record for bench.py's compact driver line (reference CPU
+            # build of the same corpus shape: 1025 s)
+            import json
+
+            Path(__file__).parent.joinpath(
+                'results_build_1m.json').write_text(json.dumps({
+                    'n': N, 'd': D, 'batch': args.batch,
+                    'build_s': round(t_dev, 1),
+                    'rows_per_s': round(N / t_dev, 0),
+                    'stages_s': {k: round(v, 1)
+                                 for k, v in sorted(b.stats.items())},
+                }, indent=1))
 
     entry = jnp.full((Q, 1), medoid, dtype=jnp.int32)
     import time as _t
