@@ -36,23 +36,30 @@ def _procrustes_update(x, recon_rot):
 def _eigenvalue_allocation(x: np.ndarray, m: int) -> np.ndarray:
     """Parametric OPQ init (Ge et al. §4 'eigenvalue allocation'): rotate
     onto the PCA basis, then permute principal directions into the M
-    subspaces so each subspace's eigenvalue PRODUCT (≈ its quantization
-    difficulty under an independent codebook) is balanced — greedy
-    assignment of descending eigenvalues to the bucket with the smallest
-    current log-product.  On anisotropic data this is most of OPQ's gain;
-    identity init leaves the alternation in a poor local minimum."""
+    subspaces so each subspace's quantization difficulty is balanced —
+    greedy assignment of descending eigenvalues to the least-loaded bucket.
+
+    Balance the VARIANCE (sum of eigenvalues), not the paper's log-product:
+    product balancing assumes a smoothly decaying spectrum; on bimodal
+    spectra (low intrinsic dim + a noise floor, e.g. normalized text
+    embeddings with ~32 signal dims over a 4e-6 floor) the log of the near-
+    zero eigenvalues dominates and the greedy stacks ALL the signal into a
+    few buckets — measured per-bucket variance min/max of 2e-5/0.41 vs
+    0.02/0.04 under identity, collapsing raw-ADC recall 0.38 → 0.15.
+    Sum-balancing equalizes each codebook's error budget on both spectrum
+    shapes (quantizer MSE at fixed K scales with bucket variance)."""
     d = x.shape[1]
     ds = d // m
     cov = np.cov(x.astype(np.float64).T)
     w, v = np.linalg.eigh(cov)           # ascending
     w, v = w[::-1], v[:, ::-1]           # descending eigenvalues
     buckets = [[] for _ in range(m)]
-    logp = np.zeros(m)
+    load = np.zeros(m)
     for i in range(d):
         free = [b for b in range(m) if len(buckets[b]) < ds]
-        b = min(free, key=lambda j: logp[j])
+        b = min(free, key=lambda j: load[j])
         buckets[b].append(i)
-        logp[b] += np.log(max(float(w[i]), 1e-12))
+        load[b] += float(w[i])
     perm = [i for b in buckets for i in b]
     return np.ascontiguousarray(v[:, perm], dtype=np.float32)
 
