@@ -385,12 +385,19 @@ def _distill_attachments():
             if ef:
                 out['ds_glove_graph_ef128_recall_at_10'] = ef['recall_at_10']
                 out['ds_glove_graph_ef128_qps'] = ef['qps']
-            sph = row.get('ivf_spherical')
-            if isinstance(sph, dict):
+            # best spherical+soft IVF point at recall >= 0.95, by per-query
+            # scanned mass (bench_datasets sweep)
+            best = None
+            for pv in (row.get('ivf_pq_probe_sweep') or {}).values():
+                fq = pv.get('scanned_fraction_per_query',
+                            pv.get('scanned_fraction', 1.0))
+                if (pv.get('recall_at_10', 0) >= 0.95
+                        and (best is None or fq < best[1])):
+                    best = (pv, fq)
+            if best:
                 out['ds_glove_ivf_spherical_recall_at_10'] = \
-                    sph.get('recall_at_10')
-                out['ds_glove_ivf_scanned_fraction'] = \
-                    sph.get('scanned_fraction')
+                    best[0]['recall_at_10']
+                out['ds_glove_ivf_scanned_fraction'] = best[1]
     rows = (sc.get('strong') or {}).get('rows') or {}
     for n in ('4', '8'):
         if n in rows and 'fixed_flops_efficiency' in rows[n]:

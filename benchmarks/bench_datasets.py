@@ -59,6 +59,7 @@ def main():
     ap.add_argument('--nq', type=int, default=512)
     ap.add_argument('--quick', action='store_true', help='200k rows')
     ap.add_argument('--skip-graph', action='store_true')
+    ap.add_argument('--skip-opq', action='store_true')
     ap.add_argument('--cells', type=int, default=0,
                     help='IVF coarse cells (0 = auto: 1024 at >=500k)')
     ap.add_argument('--m', type=int, default=0,
@@ -166,18 +167,23 @@ def main():
     eval_pq(pq, f'pq{m_sub}')
 
     # ---------------- OPQ ----------------
-    log('training OPQ (rotation gain)')
-    opq = OPQCodec(d, n_subvectors=m_sub, n_clusters=256,
-                   metric='euclidean' if euclid else 'cosine', opq_iters=5)
-    opq.fit(xb[:100_000])
-    eval_pq(opq, f'opq{m_sub}')
+    if args.skip_opq:
+        log('skipping OPQ')
+        opq = None
+    else:
+        log('training OPQ (rotation gain)')
+        opq = OPQCodec(d, n_subvectors=m_sub, n_clusters=256,
+                       metric='euclidean' if euclid else 'cosine',
+                       opq_iters=5)
+        opq.fit(xb[:100_000])
+        eval_pq(opq, f'opq{m_sub}')
 
     # ---------------- IVF-PQ probe sweep ----------------
-    log('training VQ (1024 cells) for IVF')
     from annlite_tpu.index.ivf_pq import IVFPQIndex
     from annlite_tpu.ops.ivf import ivf_scan_topk
 
     n_cells = args.cells or (1024 if n >= 500_000 else 256)
+    log(f'training VQ ({n_cells} cells) for IVF')
     # cosine → spherical k-means (unit centroids, IP assignment) + 2-way
     # soft assignment for boundary points (VERDICT r4 #3): measured on
     # glove-shaped 200k, cell-recall@10 at equal probe budget 0.851→0.942
@@ -226,7 +232,14 @@ def main():
 
     QB = 8
     probe_rows = {}
-    for n_probe in (1, 2, 4, 8, 16, 32, 64, 128):
+    # per-cell block counts, for the per-QUERY scanned-mass metric (the
+    # kernel scans the QB-batch probe UNION, which inflates the batched
+    # `scanned_fraction` ~QB-fold at high cell counts where probe sets
+    # rarely overlap — a throughput tradeoff, not a quality one)
+    cell_blocks = np.bincount(
+        np.asarray(ivf._store.block_cell[:ivf._store.n_blocks]),
+        minlength=n_cells)
+    for n_probe in (1, 2, 4, 8, 16, 32, 64, 96, 128, 192):
         probed = np.argsort(d2c, axis=1)[:, :n_probe]
         ids_all = np.empty((len(xq), TOPK), np.int64)
         sels, dts_l, qbs = [], [], []
@@ -239,6 +252,8 @@ def main():
         S = max(len(s) for s in sels)
         S = 1 << (S - 1).bit_length()  # bucket: one compile per power of two
         frac = float(np.mean([len(s) for s in sels])) * ivf._store.bs / n
+        frac_q = float(
+            cell_blocks[probed].sum(axis=1).mean()) * ivf._store.bs / n
         sels = [jnp.asarray(np.pad(s, (0, S - len(s)), constant_values=-1))
                 for s in sels]
         for i, s in enumerate(range(0, len(xq), QB)):
@@ -257,9 +272,10 @@ def main():
         probe_rows[n_probe] = {
             'recall_at_10': round(rec, 4), 'qps': round(QB / t, 1),
             'scanned_fraction': round(frac, 4),
+            'scanned_fraction_per_query': round(frac_q, 4),
         }
         log(f'IVF probe={n_probe}: R@10={rec:.4f} {QB/t:.0f} qps '
-            f'(scan {frac*100:.1f}%)')
+            f"(scan {frac*100:.1f}% batch-union, {frac_q*100:.1f}%/query)")
     results['ivf_pq_probe_sweep'] = probe_rows
 
     # ---------------- Graph ef sweep ----------------
