@@ -77,9 +77,10 @@ def test_final_line_survives_driver_tail():
         'stage_errors': {'pqivf': "killed (budget)" * 4},
         'skipped_stages': ['variants'],
     })
-    for name in ('benchmarks/results_datasets.json',
-                 'benchmarks/results_scaling.json'):
-        key = 'datasets' if 'datasets' in name else 'scaling'
+    for name, key in (('benchmarks/results_datasets.json', 'datasets'),
+                      ('benchmarks/results_scaling.json', 'scaling'),
+                      ('benchmarks/results_serve_1m.json', 'serve_1m'),
+                      ('benchmarks/results_build_1m.json', 'build_1m')):
         bench._attach_json(name, key)
     bench._distill_attachments()
 
