@@ -60,6 +60,7 @@ def main():
     ap.add_argument('--quick', action='store_true', help='200k rows')
     ap.add_argument('--skip-graph', action='store_true')
     ap.add_argument('--skip-opq', action='store_true')
+    ap.add_argument('--skip-ivf', action='store_true')
     ap.add_argument('--cells', type=int, default=0,
                     help='IVF coarse cells (0 = auto: 1024 at >=500k)')
     ap.add_argument('--m', type=int, default=0,
@@ -182,139 +183,178 @@ def main():
     from annlite_tpu.index.ivf_pq import IVFPQIndex
     from annlite_tpu.ops.ivf import ivf_scan_topk
 
-    n_cells = args.cells or (1024 if n >= 500_000 else 256)
-    log(f'training VQ ({n_cells} cells) for IVF')
-    # cosine → spherical k-means (unit centroids, IP assignment) + 2-way
-    # soft assignment for boundary points (VERDICT r4 #3): measured on
-    # glove-shaped 200k, cell-recall@10 at equal probe budget 0.851→0.942
-    vq = VQCodec(n_cells, metric=metric, n_init=1, iter=25)
-    vq.fit(xb[:200_000])
-    soft = metric == 'cosine'
-    results['ivf_variant'] = (
-        'spherical+soft2(margin 0.05)' if soft else 'euclidean-vq'
-    )
-    cells = np.concatenate([
-        (vq.encode_multi(xb[s:s + 200_000], n_assign=2, margin=0.05)
-         if soft else vq.encode(xb[s:s + 200_000]))
-        for s in range(0, n, 200_000)
-    ])
-    ivf = IVFPQIndex(dim=d, pq_codec=pq, rerank=100)
-    for s in range(0, n, 200_000):
-        e = min(s + 200_000, n)
-        ivf.add_with_ids(xb[s:e], np.arange(s, e), cells=cells[s:e],
-                         codes=codes[s:e])
-    cb, mb, rm = ivf._store.device_arrays()
-    centroids = np.asarray(vq.codebook)
-    d2c = (
-        (xq[:, None, :] - centroids[None]) ** 2
-    ).sum(-1) if euclid else 1.0 - xq @ centroids.T
-
-    from annlite_tpu.index.ivf_pq import _dedup_candidates
-
-    @jax.jit
-    def ivf_chain(dt, sel, qv, cb, mb, rm, vecs, carry):
-        dt = dt + carry * 1e-12
-        dd, rows = ivf_scan_topk(sel, dt, cb, mb, rm,
-                                 200 if soft else 100)
-        if soft:  # soft-assigned rows may appear once per probed copy
-            dd, rows = _dedup_candidates(dd, rows)
-            dd, rows = dd[:, :100], rows[:, :100]
-        safe = jnp.clip(rows, 0, vecs.shape[0] - 1)
-        cvec = vecs[safe].astype(jnp.float32)
-        if euclid:
-            rd = jnp.sum((qv[:, None, :] - cvec) ** 2, axis=-1)
-        else:
-            rd = 1.0 - jnp.einsum('qd,qrd->qr', qv, cvec,
-                                  precision=jax.lax.Precision.HIGHEST)
-        rd = jnp.where(dd < BIG / 2, rd, BIG)
-        neg, pos = jax.lax.top_k(-rd, TOPK)
-        return -neg, jnp.take_along_axis(rows, pos, axis=1), -neg[0, 0]
-
-    QB = 8
-    probe_rows = {}
-    # per-cell block counts, for the per-QUERY scanned-mass metric (the
-    # kernel scans the QB-batch probe UNION, which inflates the batched
-    # `scanned_fraction` ~QB-fold at high cell counts where probe sets
-    # rarely overlap — a throughput tradeoff, not a quality one)
-    cell_blocks = np.bincount(
-        np.asarray(ivf._store.block_cell[:ivf._store.n_blocks]),
-        minlength=n_cells)
-    for n_probe in (1, 2, 4, 8, 16, 32, 64, 96, 128, 192):
-        probed = np.argsort(d2c, axis=1)[:, :n_probe]
-        ids_all = np.empty((len(xq), TOPK), np.int64)
-        sels, dts_l, qbs = [], [], []
-        for s in range(0, len(xq), QB):
-            e = min(s + QB, len(xq))
-            sel = ivf._store.select_blocks(np.unique(probed[s:e]))
-            sels.append(sel)
-            dts_l.append(jnp.asarray(pq.get_dist_mat(xq[s:e])))
-            qbs.append(xq_j[s:e])
-        S = max(len(s) for s in sels)
-        S = 1 << (S - 1).bit_length()  # bucket: one compile per power of two
-        frac = float(np.mean([len(s) for s in sels])) * ivf._store.bs / n
-        frac_q = float(
-            cell_blocks[probed].sum(axis=1).mean()) * ivf._store.bs / n
-        sels = [jnp.asarray(np.pad(s, (0, S - len(s)), constant_values=-1))
-                for s in sels]
-        for i, s in enumerate(range(0, len(xq), QB)):
-            e = min(s + QB, len(xq))
-            ids_all[s:e] = np.asarray(
-                ivf_chain(dts_l[i], sels[i], qbs[i], cb, mb, rm, vecs_dev,
-                          carry0)[1]
-            )
-        rec = recall_at(gt, ids_all, TOPK)
-        t = chain_time(
-            ivf_chain,
-            lambda i: (dts_l[i % len(sels)], sels[i % len(sels)],
-                       qbs[i % len(sels)], cb, mb, rm, vecs_dev),
-            carry0,
+    if args.skip_ivf:
+        log('skipping IVF')
+    else:
+        n_cells = args.cells or (1024 if n >= 500_000 else 256)
+        log(f'training VQ ({n_cells} cells) for IVF')
+        # cosine → spherical k-means (unit centroids, IP assignment) + 2-way
+        # soft assignment for boundary points (VERDICT r4 #3): measured on
+        # glove-shaped 200k, cell-recall@10 at equal probe budget 0.851→0.942
+        vq = VQCodec(n_cells, metric=metric, n_init=1, iter=25)
+        vq.fit(xb[:200_000])
+        soft = metric == 'cosine'
+        results['ivf_variant'] = (
+            'spherical+soft2(margin 0.05)' if soft else 'euclidean-vq'
         )
-        probe_rows[n_probe] = {
-            'recall_at_10': round(rec, 4), 'qps': round(QB / t, 1),
-            'scanned_fraction': round(frac, 4),
-            'scanned_fraction_per_query': round(frac_q, 4),
-        }
-        log(f'IVF probe={n_probe}: R@10={rec:.4f} {QB/t:.0f} qps '
-            f"(scan {frac*100:.1f}% batch-union, {frac_q*100:.1f}%/query)")
-    results['ivf_pq_probe_sweep'] = probe_rows
+        cells = np.concatenate([
+            (vq.encode_multi(xb[s:s + 200_000], n_assign=2, margin=0.05)
+             if soft else vq.encode(xb[s:s + 200_000]))
+            for s in range(0, n, 200_000)
+        ])
+        ivf = IVFPQIndex(dim=d, pq_codec=pq, rerank=100)
+        for s in range(0, n, 200_000):
+            e = min(s + 200_000, n)
+            ivf.add_with_ids(xb[s:e], np.arange(s, e), cells=cells[s:e],
+                             codes=codes[s:e])
+        cb, mb, rm = ivf._store.device_arrays()
+        centroids = np.asarray(vq.codebook)
+        d2c = (
+            (xq[:, None, :] - centroids[None]) ** 2
+        ).sum(-1) if euclid else 1.0 - xq @ centroids.T
+
+        from annlite_tpu.index.ivf_pq import _dedup_candidates
+
+        @jax.jit
+        def ivf_chain(dt, sel, qv, cb, mb, rm, vecs, carry):
+            dt = dt + carry * 1e-12
+            dd, rows = ivf_scan_topk(sel, dt, cb, mb, rm,
+                                     200 if soft else 100)
+            if soft:  # soft-assigned rows may appear once per probed copy
+                dd, rows = _dedup_candidates(dd, rows)
+                dd, rows = dd[:, :100], rows[:, :100]
+            safe = jnp.clip(rows, 0, vecs.shape[0] - 1)
+            cvec = vecs[safe].astype(jnp.float32)
+            if euclid:
+                rd = jnp.sum((qv[:, None, :] - cvec) ** 2, axis=-1)
+            else:
+                rd = 1.0 - jnp.einsum('qd,qrd->qr', qv, cvec,
+                                      precision=jax.lax.Precision.HIGHEST)
+            rd = jnp.where(dd < BIG / 2, rd, BIG)
+            neg, pos = jax.lax.top_k(-rd, TOPK)
+            return -neg, jnp.take_along_axis(rows, pos, axis=1), -neg[0, 0]
+
+        QB = 8
+        probe_rows = {}
+        # per-cell block counts, for the per-QUERY scanned-mass metric (the
+        # kernel scans the QB-batch probe UNION, which inflates the batched
+        # `scanned_fraction` ~QB-fold at high cell counts where probe sets
+        # rarely overlap — a throughput tradeoff, not a quality one)
+        cell_blocks = np.bincount(
+            np.asarray(ivf._store.block_cell[:ivf._store.n_blocks]),
+            minlength=n_cells)
+        for n_probe in (1, 2, 4, 8, 16, 32, 64, 96, 128, 192):
+            probed = np.argsort(d2c, axis=1)[:, :n_probe]
+            ids_all = np.empty((len(xq), TOPK), np.int64)
+            sels, dts_l, qbs = [], [], []
+            for s in range(0, len(xq), QB):
+                e = min(s + QB, len(xq))
+                sel = ivf._store.select_blocks(np.unique(probed[s:e]))
+                sels.append(sel)
+                dts_l.append(jnp.asarray(pq.get_dist_mat(xq[s:e])))
+                qbs.append(xq_j[s:e])
+            S = max(len(s) for s in sels)
+            S = 1 << (S - 1).bit_length()  # bucket: one compile per power of two
+            frac = float(np.mean([len(s) for s in sels])) * ivf._store.bs / n
+            frac_q = float(
+                cell_blocks[probed].sum(axis=1).mean()) * ivf._store.bs / n
+            sels = [jnp.asarray(np.pad(s, (0, S - len(s)), constant_values=-1))
+                    for s in sels]
+            for i, s in enumerate(range(0, len(xq), QB)):
+                e = min(s + QB, len(xq))
+                ids_all[s:e] = np.asarray(
+                    ivf_chain(dts_l[i], sels[i], qbs[i], cb, mb, rm, vecs_dev,
+                              carry0)[1]
+                )
+            rec = recall_at(gt, ids_all, TOPK)
+            t = chain_time(
+                ivf_chain,
+                lambda i: (dts_l[i % len(sels)], sels[i % len(sels)],
+                           qbs[i % len(sels)], cb, mb, rm, vecs_dev),
+                carry0,
+            )
+            probe_rows[n_probe] = {
+                'recall_at_10': round(rec, 4), 'qps': round(QB / t, 1),
+                'scanned_fraction': round(frac, 4),
+                'scanned_fraction_per_query': round(frac_q, 4),
+            }
+            log(f'IVF probe={n_probe}: R@10={rec:.4f} {QB/t:.0f} qps '
+                f"(scan {frac*100:.1f}% batch-union, {frac_q*100:.1f}%/query)")
+        results['ivf_pq_probe_sweep'] = probe_rows
 
     # ---------------- Graph ef sweep ----------------
     if not args.skip_graph:
+        import hashlib
+        from functools import partial
+
         from annlite_tpu.index.device_build import DeviceVamanaBuilder
+        from annlite_tpu.index.graph import _sample_entries
         from annlite_tpu.ops.beam import beam_search_vectors
 
-        log('device graph build')
-        t0 = time.perf_counter()
-        gb = DeviceVamanaBuilder(d, max_degree=32, l_build=64,
-                                 batch_size=8192, metric_ip=not euclid)
-        for s in range(0, n, 131_072):
-            gb.add(xb[s:min(s + 131_072, n)])
-        t_build = time.perf_counter() - t0
+        gkey = hashlib.sha1(
+            xb[:64].tobytes() + f'{n}-{d}-R32-L64-b32768-v1'.encode()
+        ).hexdigest()[:16]
+        gcache = Path(f'/tmp/bench_annlite_cache/ds_graph_{gkey}.npz')
+        if gcache.exists():
+            z = np.load(gcache)
+            raw_w, t_build = z['raw_w'], float(z['t_build'])
+            log(f'graph: cached adjacency ({t_build:.0f}s original build)')
+        else:
+            log('device graph build')
+            t0 = time.perf_counter()
+            gb = DeviceVamanaBuilder(d, max_degree=32, l_build=64,
+                                     batch_size=32768, metric_ip=not euclid)
+            for s in range(0, n, 131_072):
+                gb.add(xb[s:min(s + 131_072, n)])
+            t_build = time.perf_counter() - t0
+            raw_w = gb.raw_adjacency()
+            log(f'built in {t_build:.0f}s ({n/t_build:.0f} rows/s)')
+            gcache.parent.mkdir(parents=True, exist_ok=True)
+            np.savez(gcache, raw_w=raw_w, t_build=t_build)
         results['graph_build_s'] = round(t_build, 1)
         results['graph_build_rows_per_s'] = round(n / t_build, 0)
-        log(f'built in {t_build:.0f}s ({n/t_build:.0f} rows/s)')
-        adj = jnp.asarray(gb.raw_adjacency())
-        entry = jnp.full((Q, 1), gb.medoid, dtype=jnp.int32)
-        ef_rows = {}
-        for ef in (32, 64, 128, 256):
-            @jax.jit
-            def graph_chain(adjx, vecs, qv, carry, _ef=ef):
-                dd, ids = beam_search_vectors(
-                    adjx, entry, vecs, qv + carry * 1e-12, euclid,
-                    k=_ef, L=_ef, B=16,
-                )
-                return dd, ids, dd[0, 0]
+        adj = jnp.asarray(raw_w)
+        # serving recipe (r5, results_serve_1m.json): 4096-sample entry
+        # seeding + narrow beam + exact HIGHEST rerank of the top-48
+        SENT = min(4096, n)
+        sids = jnp.asarray(
+            (np.arange(SENT, dtype=np.int64) * n // SENT).astype(np.int32))
+        svecs = vecs_dev[sids]
+        RERG, BG = 48, 8
 
+        @partial(jax.jit, static_argnums=(5,))
+        def graph_chain(adjx, vecs, sv, qv, carry, _ef):
+            qv = qv + carry * 1e-12
+            entry = _sample_entries(sv, sids, qv, euclid, 8)
+            bd, ids = beam_search_vectors(
+                adjx, entry, vecs, qv, euclid, k=_ef, L=_ef, B=BG)
+            cand = ids[:, :RERG]
+            cvec = vecs[jnp.clip(cand, 0, vecs.shape[0] - 1)].astype(
+                jnp.float32)
+            if euclid:
+                rd = jnp.sum((qv[:, None, :] - cvec) ** 2, axis=-1)
+            else:
+                rd = 1.0 - jnp.einsum(
+                    'qd,qrd->qr', qv, cvec,
+                    precision=jax.lax.Precision.HIGHEST)
+            rd = jnp.where(bd[:, :RERG] < BIG / 2, rd, BIG)
+            neg, pos = jax.lax.top_k(-rd, TOPK)
+            return -neg, jnp.take_along_axis(cand, pos, axis=1), -neg[0, 0]
+
+        ef_rows = {}
+        for ef in (48, 64, 96, 128, 256):
             ids_all = np.empty((len(xq), TOPK), np.int64)
             for s in range(0, len(xq) - Q + 1, Q):
-                out = graph_chain(adj, vecs_dev, xq_j[s:s + Q], carry0)
+                out = graph_chain(adj, vecs_dev, svecs, xq_j[s:s + Q],
+                                  carry0, ef)
                 ids_all[s:s + Q] = np.asarray(out[1])[:, :TOPK]
             nq_used = (len(xq) // Q) * Q
             rec = recall_at(gt[:nq_used], ids_all[:nq_used], TOPK)
             n_qb = max(len(xq) // Q, 1)
             t = chain_time(
-                graph_chain,
-                lambda i: (adj, vecs_dev,
+                lambda adjx, vecs, sv, qv, c, _ef=ef: graph_chain(
+                    adjx, vecs, sv, qv, c, _ef),
+                lambda i: (adj, vecs_dev, svecs,
                            xq_j[(i % n_qb) * Q:(i % n_qb) * Q + Q]),
                 carry0,
             )
