@@ -59,6 +59,9 @@ def main():
     ap.add_argument('--nq', type=int, default=512)
     ap.add_argument('--quick', action='store_true', help='200k rows')
     ap.add_argument('--skip-graph', action='store_true')
+    ap.add_argument('--skip-pq', action='store_true',
+                    help='skip PQ fit/eval (graph/IVF-only refresh; '
+                         'merged results keep earlier PQ numbers)')
     ap.add_argument('--skip-opq', action='store_true')
     ap.add_argument('--skip-ivf', action='store_true')
     ap.add_argument('--cells', type=int, default=0,
@@ -101,17 +104,21 @@ def main():
         m_sub = 64 if d % 64 == 0 else (100 if d % 100 == 0 else d // 2)
 
     # ---------------- PQ64 ----------------
-    log(f'training PQ m={m_sub}')
-    pq = PQCodec(dim=d, n_subvectors=m_sub, n_clusters=256,
-                 metric='euclidean' if euclid else 'cosine', n_init=1)
-    pq.fit(xb[:100_000], iter=20)
-    log('encoding corpus')
-    codes = np.concatenate([
-        pq.encode(xb[s:s + 200_000]) for s in range(0, n, 200_000)
-    ])
-    codes_t = jnp.asarray(codes.T)
     vecs_dev = jnp.asarray(xb, dtype=jnp.bfloat16)
     xq_j = jnp.asarray(xq)
+    if args.skip_pq:
+        log('skipping PQ fit/eval')
+        pq, codes_t = None, None
+    else:
+        log(f'training PQ m={m_sub}')
+        pq = PQCodec(dim=d, n_subvectors=m_sub, n_clusters=256,
+                     metric='euclidean' if euclid else 'cosine', n_init=1)
+        pq.fit(xb[:100_000], iter=20)
+        log('encoding corpus')
+        codes = np.concatenate([
+            pq.encode(xb[s:s + 200_000]) for s in range(0, n, 200_000)
+        ])
+        codes_t = jnp.asarray(codes.T)
 
     def eval_pq(codec, label):
         ct = codes_t if codec is pq else jnp.asarray(np.concatenate([
@@ -165,7 +172,11 @@ def main():
             f'+rerank100 R@10={r_rr:.4f} ({Q/t_rr:.0f} qps)')
         return ct
 
-    eval_pq(pq, f'pq{m_sub}')
+    if not args.skip_pq:
+        eval_pq(pq, f'pq{m_sub}')
+    else:
+        # OPQ eval and IVF ingest both need the fitted PQ/codes
+        args.skip_opq = args.skip_ivf = True
 
     # ---------------- OPQ ----------------
     if args.skip_opq:
