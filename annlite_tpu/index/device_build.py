@@ -311,8 +311,15 @@ class DeviceVamanaBuilder:
             sids = jnp.full((1,), self.medoid, dtype=jnp.int32)
             # unseeded beams need the full budget to route from the medoid
             iters = _resolve_iters(None, l, self.beam_width)
-        for s in range(0, len(x), PAD_Q):
-            chunk = x[s : s + PAD_Q]
+        # the pools gather temp is [chunk, B*W, d] bf16 + its f32 convert —
+        # the largest tensor a build materializes.  chunk 16384 fits v5e
+        # HBM at d<=128 but OOMs at d=200 (measured: 18.2G of 15.75G);
+        # halve the chunk until chunk*d is within the measured-good budget.
+        cq = PAD_Q
+        while cq > 2048 and cq * self.dim > PAD_Q * 128:
+            cq //= 2
+        for s in range(0, len(x), cq):
+            chunk = x[s : s + cq]
             b = _bucket(len(chunk))
             pad = b - len(chunk)
             q = jnp.asarray(np.pad(chunk, ((0, pad), (0, 0))) if pad else chunk)

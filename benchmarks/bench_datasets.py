@@ -302,8 +302,11 @@ def main():
         from annlite_tpu.index.graph import _sample_entries
         from annlite_tpu.ops.beam import beam_search_vectors
 
+        # batch 32768 OOMs HBM at d=200 (pools beam: 18.2G vs 15.75G on
+        # v5e) — halve the build batch beyond 128-d
+        gbs = 32768 if d <= 128 else 16384
         gkey = hashlib.sha1(
-            xb[:64].tobytes() + f'{n}-{d}-R32-L64-b32768-v1'.encode()
+            xb[:64].tobytes() + f'{n}-{d}-R32-L64-b{gbs}-v1'.encode()
         ).hexdigest()[:16]
         gcache = Path(f'/tmp/bench_annlite_cache/ds_graph_{gkey}.npz')
         if gcache.exists():
@@ -314,7 +317,7 @@ def main():
             log('device graph build')
             t0 = time.perf_counter()
             gb = DeviceVamanaBuilder(d, max_degree=32, l_build=64,
-                                     batch_size=32768, metric_ip=not euclid)
+                                     batch_size=gbs, metric_ip=not euclid)
             for s in range(0, n, 131_072):
                 gb.add(xb[s:min(s + 131_072, n)])
             t_build = time.perf_counter() - t0
