@@ -212,6 +212,9 @@ def main():
         ('bf16', 4096, 96, 8, 48),
         ('bf16', 4096, 64, 8, 64),
         ('bf16', 4096, 128, 8, 48),
+        # r5 frontier probes between ef=64 (0.9906) and ef=80 (0.9969)
+        ('bf16', 4096, 72, 8, 64),
+        ('bf16', 4096, 88, 8, 48),
     ]
     for kind, sent, ef, B, rer in VARIANTS:
         key = f'{kind}_ef{ef}_B{B}_s{sent}_r{rer}'
