@@ -114,6 +114,7 @@ _EXTRA_PRIORITY = [
     'micro_flat_batch64_qps',
     'facade_ingest_docs_per_s',
     'ds_sift1m_pq64_rerank100_recall_at_10', 'ds_sift1m_pq64_rerank100_qps',
+    'ds_sift1m_graph_ef64_recall_at_10', 'ds_sift1m_graph_ef64_qps',
     'ds_glove_graph_ef128_recall_at_10', 'ds_glove_graph_ef128_qps',
     'ds_glove_ivf_spherical_recall_at_10', 'ds_glove_ivf_scanned_fraction',
     'scaling_strong_4shard_fixed_flops_eff',
@@ -380,6 +381,10 @@ def _distill_attachments():
                                   'ds_sift1m_pq64_rerank100_qps')):
                 if k_src in row:
                     out[k_dst] = row[k_src]
+            ef = (row.get('graph_ef_sweep') or {}).get('64')
+            if ef:  # r5 serving recipe: 1.0000 @ 17.1k QPS at 1M
+                out['ds_sift1m_graph_ef64_recall_at_10'] = ef['recall_at_10']
+                out['ds_sift1m_graph_ef64_qps'] = ef['qps']
         if row.get('dataset') == 'glove':
             ef = (row.get('graph_ef_sweep') or {}).get('128')
             if ef:
